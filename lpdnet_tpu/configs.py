@@ -1,0 +1,240 @@
+"""Frozen dataclass configuration (replaces the reference's mutable module
+globals, reference: ``config.py`` — SURVEY C1).
+
+The reference mutates import-time constants from argparse (``cfg.X = args.x``).
+Here every run is described by an immutable tree of dataclasses; CLI overrides
+produce a *new* config via ``dataclasses.replace``. Presets mirror the
+reference's two training regimes: *baseline* (Oxford only, PointNetVLAD or
+LPD trunk) and *refine* (Oxford + university/residential/business).
+
+Reference constants (SURVEY C1, values corroborated by BASELINE.json):
+``NUM_POINTS=4096``, ``FEATURE_OUTPUT_DIM=256``, ``BATCH_NUM_QUERIES=2``,
+``TRAIN_POSITIVES_PER_QUERY=2``, ``TRAIN_NEGATIVES_PER_QUERY=18``,
+``MARGIN_1=0.5``, ``MARGIN_2=0.2``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Handcrafted 10-D eigen-feature stage (reference SURVEY C4).
+
+    The ten features, in output order (appended after xyz -> 13-D points):
+      0. change of curvature      lam3 / (lam1+lam2+lam3)
+      1. omnivariance             (lam1*lam2*lam3)^(1/3)
+      2. linearity                (lam1-lam2) / lam1
+      3. eigenvalue entropy       -sum(e_i * ln e_i), e_i = lam_i / sum(lam)
+      4. 2-D scattering           lam1_2d + lam2_2d  (xy-projected covariance)
+      5. 2-D linearity            lam2_2d / lam1_2d
+      6. max height difference    max(z_nbr) - min(z_nbr)
+      7. height std               std(z_nbr)
+      8. local point density      k / ((4/3) pi r_k^3)
+      9. verticality              1 - |n_z|, n = eigvec of smallest eigenvalue
+    """
+
+    k: int = 20  # neighborhood size for the local covariance (incl. self)
+    eps: float = 1e-8  # degenerate-neighborhood guard
+    # Blockwise kNN tile size (query points per tile) for the feature stage.
+    knn_block: int = 1024
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family + head (reference: ``models/PointNetVlad.py`` — SURVEY
+    C10-C13)."""
+
+    # 'pointnetvlad' = STN + shared-MLP trunk (SURVEY C10);
+    # 'lpdnet' = per-point MLP + dual-graph aggregation trunk (SURVEY C11).
+    trunk: str = "pointnetvlad"
+    num_points: int = 4096
+    # Channels of the raw input points: 3 (xyz) or 13 (xyz + 10-D features).
+    input_dim: int = 3
+    # Compute the 10-D features on device inside the forward pass (LPD path).
+    compute_features_on_device: bool = True
+    output_dim: int = 256  # FEATURE_OUTPUT_DIM
+    # Trunk
+    feature_dim: int = 1024  # per-point feature width fed to NetVLAD
+    use_input_transform: bool = True  # STN3d 3x3 input alignment
+    use_feature_transform: bool = False  # 64x64 feature alignment (off in ref)
+    # LPD trunk (SURVEY C11): DGCNN-style edge convs on two graphs.
+    graph_k: int = 20
+    # NetVLAD head (SURVEY C12)
+    num_clusters: int = 64
+    add_batch_norm: bool = True  # BN (vs bias) on the soft-assignment logits
+    gating: bool = True  # GatingContext on the output descriptor
+    normalize_output: bool = True  # L2-normalize the final descriptor
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    # Numerics: bfloat16 activations on the matmul path, fp32 params/reductions.
+    compute_dtype: str = "float32"
+
+    @property
+    def effective_input_dim(self) -> int:
+        if self.trunk == "lpdnet" and self.compute_features_on_device:
+            return 3 + 10
+        return self.input_dim
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Lazy quadruplet loss (reference: ``loss/pointnetvlad_loss.py`` — SURVEY
+    C14)."""
+
+    kind: str = "quadruplet"  # 'quadruplet' | 'triplet'
+    margin_1: float = 0.5  # MARGIN_1
+    margin_2: float = 0.2  # MARGIN_2
+    lazy: bool = True  # max over negatives (lazy) vs sum
+    use_min: bool = False  # easiest-positive (min) vs hardest-positive (max)
+    ignore_zero_loss: bool = False  # average over active tuples only
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset artifacts (reference: ``generating_queries/*`` + pickle layout —
+    SURVEY C2/C7-C9)."""
+
+    dataset_folder: str = "benchmark_datasets"
+    train_file: str = "training_queries_baseline.pickle"
+    test_file: str = "test_queries_baseline.pickle"
+    eval_database_file: str = "oxford_evaluation_database.pickle"
+    eval_query_file: str = "oxford_evaluation_query.pickle"
+    num_points: int = 4096
+    # Augmentation (SURVEY C5): rotation about vertical axis + clipped jitter.
+    rotation_max_deg: float = 180.0
+    jitter_sigma: float = 0.005
+    jitter_clip: float = 0.05
+    augment_rotate: bool = True
+    augment_jitter: bool = True
+
+
+@dataclass(frozen=True)
+class MiningConfig:
+    """Hard-negative remining (reference: ``train_pointnetvlad.py``
+    ``get_random_hard_negatives`` / ``TRAINING_LATENT_VECTORS`` — SURVEY C16)."""
+
+    warmup_epochs: int = 5  # epochs of purely random negatives
+    hard_negatives_per_query: int = 10  # hard picks mixed into each tuple
+    # Refresh the cached full-train-set descriptors every this many queries.
+    cache_refresh_queries: int = 1000
+    sampled_negatives: int = 4000  # random candidate pool per query
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training driver (reference: ``train_pointnetvlad.py`` — SURVEY C15/C17)."""
+
+    batch_num_queries: int = 2  # BATCH_NUM_QUERIES
+    positives_per_query: int = 2  # TRAIN_POSITIVES_PER_QUERY
+    negatives_per_query: int = 18  # TRAIN_NEGATIVES_PER_QUERY
+    max_epoch: int = 20
+    base_learning_rate: float = 5e-5
+    decay_step: int = 200_000  # examples, exponential stair decay
+    decay_rate: float = 0.7
+    min_learning_rate: float = 1e-7
+    momentum: float = 0.9
+    optimizer: str = "adam"  # 'adam' | 'momentum'
+    seed: int = 0
+    log_dir: str = "log"
+    model_filename: str = "model.ckpt"
+    resume: bool = False
+    # Evaluate + checkpoint cadence (reference: per epoch).
+    eval_every_epochs: int = 1
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 3
+    loss: LossConfig = field(default_factory=LossConfig)
+    mining: MiningConfig = field(default_factory=MiningConfig)
+
+    @property
+    def tuples_per_batch(self) -> int:
+        """Submaps per training example: query + positives + negatives +
+        other_neg."""
+        return 1 + self.positives_per_query + self.negatives_per_query + 1
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Retrieval benchmark (reference: ``evaluate.py`` — SURVEY C18)."""
+
+    batch_size: int = 64  # EVAL_BATCH_SIZE (descriptor extraction)
+    top_k: int = 25  # recall@1..25 curve
+    output_file: str = "results.txt"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh data parallelism (replaces ``nn.DataParallel`` — SURVEY
+    C20/C21)."""
+
+    data_axis: str = "data"
+    # None -> use all visible devices on the data axis.
+    num_devices: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference's training regimes.
+# ---------------------------------------------------------------------------
+
+def baseline_config() -> Config:
+    """PointNetVLAD baseline on Oxford (reference baseline training)."""
+    return Config()
+
+
+def lpd_baseline_config() -> Config:
+    """LPD-Net trunk on Oxford baseline tuples."""
+    cfg = Config()
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, trunk="lpdnet", input_dim=3)
+    )
+
+
+def refine_config(trunk: str = "lpdnet") -> Config:
+    """Refined training: Oxford + university/residential/business (SURVEY C8);
+    positives radius 12.5 m, quadruplet loss with hard negatives."""
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, trunk=trunk),
+        data=dataclasses.replace(
+            cfg.data,
+            train_file="training_queries_refine.pickle",
+            test_file="test_queries_baseline.pickle",
+        ),
+    )
+
+
+PRESETS = {
+    "baseline": baseline_config,
+    "lpd_baseline": lpd_baseline_config,
+    "refine": refine_config,
+}
+
+
+def apply_overrides(cfg: Config, **overrides) -> Config:
+    """Apply dotted-path overrides, e.g. ``apply_overrides(cfg,
+    **{'train.max_epoch': 5})`` — the CLI surface's replacement for the
+    reference's argparse-mutates-module-globals pattern."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        node_path = []
+        node = cfg
+        for p in parts[:-1]:
+            node_path.append((node, p))
+            node = getattr(node, p)
+        node = dataclasses.replace(node, **{parts[-1]: value})
+        for parent, name in reversed(node_path):
+            node = dataclasses.replace(parent, **{name: node})
+        cfg = node
+    return cfg

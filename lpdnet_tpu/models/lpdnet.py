@@ -1,0 +1,88 @@
+"""LPD-Net feature trunk: per-point MLP + dual-graph neighbourhood aggregation.
+
+Reference: the LPD feature net (``models`` ``knn`` / ``get_graph_feature`` /
+LPD module — SURVEY C11, corroborated by BASELINE.json and the LPD-Net ICCV'19
+paper): a shared MLP over the 13-D input (xyz + 10 handcrafted features),
+then DGCNN-style edge convolutions with max aggregation over kNN graphs built
+in BOTH Cartesian (xyz) space and learned-feature space, producing 1024-D
+per-point features for NetVLAD.
+
+TPU-native design: both graphs come from the blockwise kNN op (tiled
+distance + top-k, Pallas on the hot path); edge convs are Dense layers on
+the (B, N, k, C) edge tensor, which XLA tiles onto the MXU, fused with the
+max-over-neighbours reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lpdnet_tpu.ops.edgeconv import edge_features
+from lpdnet_tpu.ops.knn import knn_indices
+from lpdnet_tpu.models.pointnet import PointMLP
+
+
+class EdgeConv(nn.Module):
+    """Shared MLP over ``[x_j - x_i, x_i]`` edges + max over neighbours."""
+
+    width: int
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, idx: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        # x: (B, N, C), idx: (B, N, k) -> (B, N, width)
+        e = edge_features(x, idx)  # (B, N, k, 2C)
+        e = nn.Dense(self.width, name="dense")(e)
+        e = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name="bn"
+        )(e)
+        e = nn.relu(e)
+        return jnp.max(e, axis=2)
+
+
+class LPDNetFeat(nn.Module):
+    """(B, N, 13) -> (B, N, feature_dim) per-point features.
+
+    Stages:
+      1. shared MLP 13 -> 64 -> 64 on the augmented points;
+      2. EdgeConv over the **Cartesian-space** kNN graph (built from the xyz
+         columns of the input) -> 64;
+      3. EdgeConv over the **feature-space** kNN graph (rebuilt from the
+         current learned features) -> 128;
+      4. shared MLP 128 -> 256 -> feature_dim.
+    """
+
+    feature_dim: int = 1024
+    k: int = 20
+    pre_widths: Sequence[int] = (64, 64)
+    spatial_width: int = 64
+    feature_width: int = 128
+    post_widths: Sequence[int] = (256,)
+    knn_block: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        xyz = x[..., :3]
+        h = PointMLP(list(self.pre_widths), relu_last=True, name="pre")(
+            x, train=train
+        )
+        # Graph 1: neighbourhoods in Cartesian space (fixed geometry).
+        idx_xyz = knn_indices(xyz, self.k, block=self.knn_block)
+        h = EdgeConv(self.spatial_width, name="edge_spatial")(
+            h, idx_xyz, train=train
+        )
+        # Graph 2: neighbourhoods rebuilt in learned-feature space.
+        idx_feat = knn_indices(h, self.k, block=self.knn_block)
+        h = EdgeConv(self.feature_width, name="edge_feature")(
+            h, idx_feat, train=train
+        )
+        h = PointMLP(
+            list(self.post_widths) + [self.feature_dim],
+            relu_last=False,
+            name="post",
+        )(h, train=train)
+        return h

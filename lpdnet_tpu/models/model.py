@@ -1,0 +1,101 @@
+"""Top-level descriptor network (reference: ``PointNetVlad`` class composing
+trunk + NetVLAD — SURVEY C13).
+
+``DescriptorNet`` maps batches of submaps to global descriptors:
+``(B, N, C) -> (B, output_dim)``. For the LPD trunk with
+``compute_features_on_device=True`` the input is raw xyz ``(B, N, 3)`` and
+the handcrafted 10-D feature stage runs inside the jitted forward — the
+reference's per-submap host NumPy stage (SURVEY C4) become part of the
+compiled graph.
+
+A ``reference_forward`` shim accepts the reference's ``(B, 1, N, C)`` layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lpdnet_tpu.configs import ModelConfig
+from lpdnet_tpu.models.lpdnet import LPDNetFeat
+from lpdnet_tpu.models.netvlad import NetVLADLoupe
+from lpdnet_tpu.models.pointnet import PointNetFeat
+from lpdnet_tpu.ops.features import attach_features
+
+
+class DescriptorNet(nn.Module):
+    """Trunk (PointNet or LPD-Net) + NetVLAD head -> global descriptor."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        if cfg.trunk == "lpdnet":
+            if cfg.compute_features_on_device and x.shape[-1] == 3:
+                x = attach_features(
+                    x,
+                    cfg.features.k,
+                    eps=cfg.features.eps,
+                    block=cfg.features.knn_block,
+                )
+            trunk_out = LPDNetFeat(
+                feature_dim=cfg.feature_dim,
+                k=cfg.graph_k,
+                knn_block=cfg.features.knn_block,
+                name="trunk",
+            )(x.astype(dtype), train=train)
+        elif cfg.trunk == "pointnetvlad":
+            trunk_out = PointNetFeat(
+                feature_dim=cfg.feature_dim,
+                use_input_transform=cfg.use_input_transform,
+                use_feature_transform=cfg.use_feature_transform,
+                name="trunk",
+            )(x.astype(dtype), train=train)
+        else:
+            raise ValueError(f"unknown trunk: {cfg.trunk!r}")
+
+        desc = NetVLADLoupe(
+            feature_size=cfg.feature_dim,
+            cluster_size=cfg.num_clusters,
+            output_dim=cfg.output_dim,
+            add_batch_norm=cfg.add_batch_norm,
+            gating=cfg.gating,
+            name="netvlad",
+        )(trunk_out.astype(jnp.float32), train=train)
+
+        if cfg.normalize_output:
+            desc = desc / jnp.sqrt(
+                jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12
+            )
+        return desc
+
+
+def build_model(cfg: ModelConfig) -> DescriptorNet:
+    return DescriptorNet(config=cfg)
+
+
+def init_model(
+    cfg: ModelConfig, rng: jax.Array, batch_size: int = 1
+) -> Tuple[DescriptorNet, Dict[str, Any]]:
+    """Create the model and initialize its variables (params + batch_stats)."""
+    model = build_model(cfg)
+    c = 3 if (cfg.trunk == "lpdnet" and cfg.compute_features_on_device) else cfg.input_dim
+    dummy = jnp.zeros((batch_size, cfg.num_points, c), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables
+
+
+def reference_forward(
+    model: DescriptorNet, variables: Dict[str, Any], x: jnp.ndarray
+) -> jnp.ndarray:
+    """Compat shim for the reference's ``(B, 1, N, C)`` input layout
+    (SURVEY §7: the quirk is not reproduced internally)."""
+    if x.ndim == 4:
+        x = x[:, 0]
+    return model.apply(variables, x, train=False)

@@ -1,0 +1,119 @@
+"""Blockwise k-nearest-neighbour search.
+
+Replaces the reference's materialize-the-full-N^2-matrix + ``torch.topk``
+pattern (reference: ``models`` ``knn()`` — SURVEY C11) with a *tiled* search:
+queries are processed in blocks so only a (block, Nd) distance tile is ever
+live, scanned with ``lax.scan``. This is this domain's analogue of blockwise
+attention (SURVEY §5 "long-context" row): point count can scale without an
+N^2 buffer.
+
+Used three times per LPD forward (SURVEY §7 "Hard parts"): the feature-stage
+neighborhood, the Cartesian-space graph, and the learned-feature-space graph.
+
+A Pallas fused distance+top-k kernel (``lpdnet_tpu.ops.pallas.knn_pallas``)
+covers the TPU hot path; this XLA implementation is the portable fallback and
+the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lpdnet_tpu.ops.pairwise import pairwise_sqdist
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("k", "block", "exclude_self"))
+def knn_indices_and_dists(
+    queries: jnp.ndarray,
+    database: jnp.ndarray,
+    k: int,
+    *,
+    block: int = 1024,
+    exclude_self: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest database points for every query point, blockwise.
+
+    Args:
+      queries: (B, Nq, C) query points.
+      database: (B, Nd, C) database points.
+      k: neighbours to return (k <= Nd).
+      block: query-tile size; one (B, block, Nd) distance tile is live at a
+        time. Rounded to cover Nq exactly (queries are zero-padded).
+      exclude_self: if True, assumes queries is database (Nq == Nd) and masks
+        the diagonal so a point is not its own neighbour.
+
+    Returns:
+      (idx, dist): (B, Nq, k) int32 neighbour indices and (B, Nq, k) float32
+      squared distances, both sorted ascending by distance.
+    """
+    b, nq, c = queries.shape
+    nd = database.shape[1]
+    if k > nd - (1 if exclude_self else 0):
+        raise ValueError(f"k={k} too large for Nd={nd} (exclude_self={exclude_self})")
+
+    block = min(block, _round_up(nq, 8))
+    nq_pad = _round_up(nq, block)
+    num_blocks = nq_pad // block
+
+    q_pad = jnp.pad(queries.astype(jnp.float32), ((0, 0), (0, nq_pad - nq), (0, 0)))
+    q_tiles = q_pad.reshape(b, num_blocks, block, c).transpose(1, 0, 2, 3)
+    if exclude_self:
+        base = jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 0) * block
+        row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 1)
+    else:
+        row_ids = jnp.zeros((num_blocks, block), jnp.int32)
+
+    db = database.astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nd), 2)
+
+    def scan_body(carry, tile):
+        q_tile, rows = tile  # (B, block, C), (block,)
+        d = pairwise_sqdist(q_tile, db)  # (B, block, Nd)
+        if exclude_self:
+            d = jnp.where(col_ids == rows[None, :, None], jnp.inf, d)
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return carry, (idx.astype(jnp.int32), -neg_d)
+
+    _, (idx, dist) = jax.lax.scan(scan_body, None, (q_tiles, row_ids))
+    # (num_blocks, B, block, k) -> (B, Nq, k)
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, nq_pad, k)[:, :nq]
+    dist = dist.transpose(1, 0, 2, 3).reshape(b, nq_pad, k)[:, :nq]
+    return idx, dist
+
+
+def knn_indices(
+    points: jnp.ndarray,
+    k: int,
+    *,
+    features: Optional[jnp.ndarray] = None,
+    block: int = 1024,
+    exclude_self: bool = False,
+) -> jnp.ndarray:
+    """kNN graph over one point set (the common model-side call).
+
+    Args:
+      points: (B, N, C) points defining the metric space. If ``features`` is
+        given, the graph is built over ``features`` instead (the LPD feature-
+        space graph) — ``points`` is ignored for distances.
+      k: neighbours per point.
+      exclude_self: mask the self-match (reference's graph keeps self-match
+        at distance 0; the edge feature x_j - x_i is then 0, harmless either
+        way — we default to keeping it, matching torch.topk on a matrix whose
+        diagonal is 0).
+
+    Returns:
+      (B, N, k) int32 neighbour indices.
+    """
+    space = features if features is not None else points
+    idx, _ = knn_indices_and_dists(
+        space, space, k, block=block, exclude_self=exclude_self
+    )
+    return idx

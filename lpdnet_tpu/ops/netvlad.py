@@ -1,0 +1,58 @@
+"""Functional NetVLAD ("Loupe") aggregation core.
+
+The reference's ``NetVLADLoupe`` (reference: ``models/PointNetVlad.py`` —
+SURVEY C12) soft-assigns N per-point features to K clusters and aggregates
+residuals against learned centers. The whole pipeline is matmul + softmax +
+matmul — exactly what XLA fuses well on the MXU — so the core is expressed
+as einsums here; the Flax module owns the parameters (assignment weights,
+centers, projection, gating).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def netvlad_aggregate(
+    features: jnp.ndarray,
+    assignment_logits: jnp.ndarray,
+    cluster_centers: jnp.ndarray,
+    *,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Soft-assignment residual aggregation.
+
+    Args:
+      features: (B, N, D) per-point features.
+      assignment_logits: (B, N, K) unnormalized cluster logits (the module
+        computes these as features @ W (+ BN or bias)).
+      cluster_centers: (K, D) learned cluster centers (the reference's
+        ``cluster_weights2``, stored transposed there).
+      eps: normalization guard.
+
+    Returns:
+      (B, K*D) intra-normalized, L2-normalized VLAD descriptor (before the
+      output projection).
+    """
+    a = jnp.exp(
+        assignment_logits - jnp.max(assignment_logits, axis=-1, keepdims=True)
+    )
+    a = a / jnp.sum(a, axis=-1, keepdims=True)  # softmax over K
+
+    # vlad[b,k,d] = sum_n a[b,n,k] * x[b,n,d]  -  (sum_n a[b,n,k]) * c[k,d]
+    agg = jnp.einsum(
+        "bnk,bnd->bkd", a, features, preferred_element_type=jnp.float32
+    )
+    a_sum = jnp.sum(a, axis=1)  # (B, K)
+    vlad = agg - a_sum[..., None] * cluster_centers[None]
+
+    # Intra-normalization: L2 over the feature axis per cluster.
+    vlad = vlad / jnp.sqrt(
+        jnp.sum(vlad * vlad, axis=-1, keepdims=True) + eps
+    )
+    b = vlad.shape[0]
+    flat = vlad.reshape(b, -1)
+    flat = flat / jnp.sqrt(jnp.sum(flat * flat, axis=-1, keepdims=True) + eps)
+    return flat
