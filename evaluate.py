@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference: ``python evaluate.py`` — SURVEY C18).
+
+Loads a checkpoint, embeds all database/query runs, and writes the averaged
+recall@1..25 / top-1% report in the reference's text format.
+
+Examples:
+  python evaluate.py --log_dir log --dataset_folder benchmark_datasets
+  python evaluate.py --synthetic --log_dir log   # synthetic smoke eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from lpdnet_tpu.configs import PRESETS, apply_overrides
+from lpdnet_tpu.data.binio import load_pc_file
+from lpdnet_tpu.data.pickles import get_sets_dict
+from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+from lpdnet_tpu.eval.evaluate import evaluate_model, format_results, write_results
+from lpdnet_tpu.parallel.mesh import make_mesh
+from lpdnet_tpu.train.state import create_train_state
+from lpdnet_tpu.train.step import make_embed_fn
+from lpdnet_tpu.utils.checkpoint import CheckpointManager
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="baseline", choices=sorted(PRESETS))
+    p.add_argument("--trunk", default=None, choices=["pointnetvlad", "lpdnet"])
+    p.add_argument("--dataset_folder", default=None)
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--eval_database_file", default=None)
+    p.add_argument("--eval_query_file", default=None)
+    p.add_argument("--output_file", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--no_mesh", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = PRESETS[args.preset]()
+    over = {"train.log_dir": args.log_dir}
+    if args.trunk: over["model.trunk"] = args.trunk
+    if args.dataset_folder: over["data.dataset_folder"] = args.dataset_folder
+    if args.eval_database_file:
+        over["data.eval_database_file"] = args.eval_database_file
+    if args.eval_query_file: over["data.eval_query_file"] = args.eval_query_file
+    if args.output_file: over["eval.output_file"] = args.output_file
+    if args.batch_size is not None: over["eval.batch_size"] = args.batch_size
+    cfg = apply_overrides(cfg, **over)
+
+    if args.synthetic:
+        cfg = apply_overrides(
+            cfg,
+            **{
+                "model.num_points": 256, "model.feature_dim": 128,
+                "model.num_clusters": 16, "model.output_dim": 64,
+                "model.use_input_transform": False,
+            },
+        )
+        ds = make_synthetic_dataset(
+            num_places=16, submaps_per_place=8,
+            num_points=cfg.model.num_points,
+        )
+        database_sets, query_sets, loader = (
+            ds.database_sets, ds.query_sets, ds.loader
+        )
+    else:
+        database_sets = get_sets_dict(cfg.data.eval_database_file)
+        query_sets = get_sets_dict(cfg.data.eval_query_file)
+
+        def loader(fname: str) -> np.ndarray:
+            return load_pc_file(
+                fname, cfg.data.dataset_folder, cfg.data.num_points
+            )
+
+    model, state = create_train_state(
+        cfg.model, cfg.train, jax.random.key(0)
+    )
+    ckpt_dir = f"{cfg.train.log_dir}/checkpoints"
+    if os.path.isdir(ckpt_dir):
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_epoch() is not None:
+            state, epoch = mgr.restore(state)
+            print(f"restored checkpoint from epoch {epoch}")
+        mgr.close()
+    else:
+        print("warning: no checkpoint found; evaluating random init")
+
+    mesh = None if args.no_mesh else make_mesh(cfg.mesh.num_devices)
+    embed = make_embed_fn(model, mesh=mesh)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results = evaluate_model(
+        embed, variables, database_sets, query_sets, loader,
+        batch_size=cfg.eval.batch_size, num_neighbors=cfg.eval.top_k,
+    )
+    print(format_results(results))
+    write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")
+
+
+if __name__ == "__main__":
+    main()

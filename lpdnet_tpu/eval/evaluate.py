@@ -1,0 +1,120 @@
+"""Full retrieval benchmark: descriptor sweeps + all-run-pair recall.
+
+Reference: ``evaluate()`` / ``evaluate_model()`` / ``get_latent_vectors()``
+in ``evaluate.py`` (SURVEY C18, call stack §3.2): embed every database and
+query run, then for every ordered pair of distinct runs compute recall@1..25,
+top-1% recall, and top-1 similarity; average across pairs and append a text
+report to the output file.
+
+Descriptor extraction is the batched jitted embed function (batch-sharded
+over the mesh when one is given); tail batches are padded to keep a single
+compiled shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from lpdnet_tpu.eval.recall import get_recall
+
+
+def get_latent_vectors(
+    embed_fn: Callable,
+    variables,
+    entries: Dict[int, Dict],
+    loader: Callable[[str], np.ndarray],
+    batch_size: int = 64,
+) -> np.ndarray:
+    """Descriptors for one run's submaps, in index order (padded tail)."""
+    indices = sorted(entries.keys())
+    outs: List[np.ndarray] = []
+    for start in range(0, len(indices), batch_size):
+        ids = indices[start : start + batch_size]
+        pts = np.stack([loader(entries[i]["query"]) for i in ids])
+        pad = batch_size - len(ids)
+        if pad:
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
+        vecs = np.asarray(embed_fn(variables, pts))
+        outs.append(vecs[: len(ids)])
+    return np.concatenate(outs, axis=0)
+
+
+def evaluate_model(
+    embed_fn: Callable,
+    variables,
+    database_sets: Sequence[Dict[int, Dict]],
+    query_sets: Sequence[Dict[int, Dict]],
+    loader: Callable[[str], np.ndarray],
+    batch_size: int = 64,
+    num_neighbors: int = 25,
+) -> Dict[str, object]:
+    """Run the full benchmark; returns averaged metrics.
+
+    ``query_sets[n][i][m]`` holds the true-positive database indices of
+    query ``i`` (run ``n``) in database run ``m`` (reference pickle layout,
+    SURVEY C9).
+    """
+    database_vectors = [
+        get_latent_vectors(embed_fn, variables, s, loader, batch_size)
+        for s in database_sets
+    ]
+    query_vectors = [
+        get_latent_vectors(embed_fn, variables, s, loader, batch_size)
+        for s in query_sets
+    ]
+
+    recalls = []
+    one_percents = []
+    similarities: List[float] = []
+    for m in range(len(database_sets)):
+        for n in range(len(query_sets)):
+            if m == n:
+                continue
+            q_entries = query_sets[n]
+            tps = [
+                q_entries[i].get(m, []) for i in sorted(q_entries.keys())
+            ]
+            res = get_recall(
+                database_vectors[m], query_vectors[n], tps, num_neighbors
+            )
+            if res["num_evaluated"] == 0:
+                continue
+            recalls.append(res["recall"])
+            one_percents.append(res["one_percent_recall"])
+            similarities.extend(res["top1_similarity"])
+
+    ave_recall = (
+        np.mean(recalls, axis=0) if recalls else np.zeros(num_neighbors)
+    )
+    return {
+        "ave_recall": ave_recall,
+        "ave_one_percent_recall": float(np.mean(one_percents)) if one_percents else 0.0,
+        "average_similarity": float(np.mean(similarities)) if similarities else 0.0,
+        "num_pairs": len(recalls),
+    }
+
+
+def format_results(results: Dict[str, object]) -> str:
+    """The reference's appended-text report layout (SURVEY C18)."""
+    lines = [
+        "Average Recall @N:",
+        str(np.asarray(results["ave_recall"])),
+        "",
+        "Average Similarity:",
+        str(results["average_similarity"]),
+        "",
+        "Average Top 1% Recall:",
+        str(results["ave_one_percent_recall"]),
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def write_results(results: Dict[str, object], output_file: str) -> None:
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    with open(output_file, "a") as f:
+        f.write(format_results(results))
+        f.write("\n")

@@ -1,0 +1,103 @@
+"""Recall@N computation for one (database run, query run) pair.
+
+Reference: ``get_recall`` in ``evaluate.py`` (SURVEY C18, call stack §3.2):
+sklearn KDTree over database descriptors, 25-NN per query, recall@1..25
+curve from the first-hit rank, top-1% recall with threshold
+``max(round(len(db)/100), 1)``, and mean top-1 dot-product similarity over
+correct top-1 retrievals.
+
+TPU-native change: the neighbour search is a device matmul + ``lax.top_k``
+(descriptors are 256-D; brute force on the MXU beats tree traversal by
+orders of magnitude), while hit-checking against the per-query true-positive
+lists stays host-side (ragged lists).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_retrieve(
+    database: jnp.ndarray, queries: jnp.ndarray, k: int = 25
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k nearest database rows per query (squared L2), on device.
+
+    Returns (indices (Nq, k), sq_distances (Nq, k)) sorted ascending.
+    """
+    db = database.astype(jnp.float32)
+    q = queries.astype(jnp.float32)
+    d = (
+        jnp.sum(q * q, axis=1, keepdims=True)
+        - 2.0 * q @ db.T
+        + jnp.sum(db * db, axis=1)[None, :]
+    )
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return idx, jnp.maximum(-neg_d, 0.0)
+
+
+def get_recall(
+    database_vectors: np.ndarray,
+    query_vectors: np.ndarray,
+    true_positives: Sequence[Sequence[int]],
+    num_neighbors: int = 25,
+) -> Dict[str, object]:
+    """Recall stats for one ordered (database run, query run) pair.
+
+    Args:
+      database_vectors: (Nd, D) descriptors of the database run.
+      query_vectors: (Nq, D) descriptors of the query run.
+      true_positives: per-query list of matching database indices (queries
+        with an empty list are skipped, as in the reference).
+
+    Returns:
+      dict with 'recall' (cumulative %, length num_neighbors),
+      'one_percent_recall' (%), 'top1_similarity' (list of dot products on
+      correct top-1 hits), 'num_evaluated'.
+    """
+    nd = database_vectors.shape[0]
+    k = min(num_neighbors, nd)
+    idx, _ = knn_retrieve(
+        jnp.asarray(database_vectors), jnp.asarray(query_vectors), k
+    )
+    idx = np.asarray(idx)
+
+    threshold = max(int(round(nd / 100.0)), 1)
+    recall = np.zeros(num_neighbors)
+    one_percent_hits = 0
+    top1_similarity: List[float] = []
+    num_evaluated = 0
+    for i, tp in enumerate(true_positives):
+        if len(tp) == 0:
+            continue
+        num_evaluated += 1
+        tp_set = set(tp)
+        hits = [j for j in range(k) if int(idx[i, j]) in tp_set]
+        if hits:
+            first = hits[0]
+            recall[first] += 1
+            if first == 0:
+                sim = float(
+                    np.dot(query_vectors[i], database_vectors[idx[i, 0]])
+                )
+                top1_similarity.append(sim)
+            if first < threshold:
+                one_percent_hits += 1
+    if num_evaluated == 0:
+        return {
+            "recall": np.zeros(num_neighbors),
+            "one_percent_recall": 0.0,
+            "top1_similarity": [],
+            "num_evaluated": 0,
+        }
+    return {
+        "recall": np.cumsum(recall) / num_evaluated * 100.0,
+        "one_percent_recall": one_percent_hits / num_evaluated * 100.0,
+        "top1_similarity": top1_similarity,
+        "num_evaluated": num_evaluated,
+    }

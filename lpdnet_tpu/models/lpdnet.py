@@ -36,7 +36,7 @@ class EdgeConv(nn.Module):
     ) -> jnp.ndarray:
         # x: (B, N, C), idx: (B, N, k) -> (B, N, width)
         e = edge_features(x, idx)  # (B, N, k, 2C)
-        e = nn.Dense(self.width, name="dense")(e)
+        e = nn.Dense(self.width, use_bias=False, name="dense")(e)
         e = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, name="bn"
         )(e)

@@ -33,7 +33,9 @@ class PointMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, name=f"dense_{i}")(x)
+            # No bias: the following BatchNorm's mean subtraction cancels it
+            # (a bias here would be a dead parameter with pure-noise grads).
+            x = nn.Dense(w, use_bias=False, name=f"dense_{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, name=f"bn_{i}"
             )(x)
@@ -58,7 +60,7 @@ class STN3d(nn.Module):
         h = PointMLP([64, 128, 1024], relu_last=True)(x, train=train)
         h = jnp.max(h, axis=1)  # global max-pool over points
         for i, w in enumerate([512, 256]):
-            h = nn.Dense(w, name=f"fc_{i}")(h)
+            h = nn.Dense(w, use_bias=False, name=f"fc_{i}")(h)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, name=f"fc_bn_{i}"
             )(h)

@@ -1,0 +1,153 @@
+"""Epoch driver: the reference's ``train()`` / ``train_one_epoch()`` rebuilt
+around a jitted, mesh-sharded step (reference: ``train_pointnetvlad.py`` —
+SURVEY C15, call stack §3.1).
+
+Per epoch: shuffled tuple batches (skipping queries with too few positives),
+host-side tuple assembly + augmentation, one compiled train step per batch;
+after the warm-up epochs, hard negatives are mixed in and the descriptor
+cache refreshes every ``cache_refresh_queries`` processed queries (§3.5).
+Checkpoints via Orbax per epoch; metrics as JSONL; optional per-epoch eval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from lpdnet_tpu.configs import Config
+from lpdnet_tpu.data.tuples import TupleSampler
+from lpdnet_tpu.eval.evaluate import evaluate_model, write_results
+from lpdnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from lpdnet_tpu.train.mining import DescriptorCache
+from lpdnet_tpu.train.state import create_train_state
+from lpdnet_tpu.train.step import make_embed_fn, make_train_step
+from lpdnet_tpu.utils.checkpoint import CheckpointManager
+from lpdnet_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainResources:
+    """Everything the loop needs beyond the config (injectable for tests)."""
+
+    sampler: TupleSampler
+    loader: Callable[[str], np.ndarray]
+    database_sets: Optional[list] = None
+    query_sets: Optional[list] = None
+
+
+def train(
+    cfg: Config,
+    res: TrainResources,
+    use_mesh: bool = True,
+    logger: Optional[MetricsLogger] = None,
+) -> Dict[str, object]:
+    """Run training; returns final state + last eval results."""
+    tc = cfg.train
+    rng_np = np.random.RandomState(tc.seed)
+    logger = logger or MetricsLogger(tc.log_dir)
+
+    mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis) if use_mesh else None
+
+    model, state = create_train_state(
+        cfg.model, tc, jax.random.key(tc.seed)
+    )
+    train_step = make_train_step(
+        model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis
+    )
+    embed_fn = make_embed_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
+
+    ckpt = CheckpointManager(
+        f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
+    )
+    start_epoch = 0
+    if tc.resume and ckpt.latest_epoch() is not None:
+        state, start_epoch = ckpt.restore(state)
+        start_epoch += 1
+        logger.log("resume", epoch=start_epoch)
+
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    cache = DescriptorCache(res.sampler, batch_size=cfg.eval.batch_size)
+    mining = tc.mining
+    results: Dict[str, object] = {}
+
+    def model_vars(s):
+        return {"params": s.params, "batch_stats": s.batch_stats}
+
+    for epoch in range(start_epoch, tc.max_epoch):
+        use_hard = epoch >= mining.warmup_epochs
+        if use_hard and not cache.ready:
+            cache.refresh(embed_fn, model_vars(state))
+            logger.log("mining_cache_refresh", epoch=epoch, queries=0)
+
+        def hard_fn(idx: int):
+            if not (use_hard and cache.ready):
+                return ()
+            return cache.hard_negatives(
+                idx,
+                mining.hard_negatives_per_query,
+                rng_np,
+                sampled_pool=mining.sampled_negatives,
+            )
+
+        losses = []
+        queries_done = 0
+        next_refresh = mining.cache_refresh_queries
+        for ids, batch in res.sampler.epoch_batches(
+            tc.batch_num_queries,
+            rng_np,
+            hard_negs_fn=hard_fn if use_hard else None,
+            rotate=cfg.data.augment_rotate,
+            jitter=cfg.data.augment_jitter,
+            rotation_max_deg=cfg.data.rotation_max_deg,
+            jitter_sigma=cfg.data.jitter_sigma,
+            jitter_clip=cfg.data.jitter_clip,
+        ):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
+            state, loss = train_step(state, batch)
+            losses.append(loss)
+            queries_done += len(ids)
+            if use_hard and queries_done >= next_refresh:
+                cache.refresh(embed_fn, model_vars(state))
+                next_refresh += mining.cache_refresh_queries
+                logger.log(
+                    "mining_cache_refresh", epoch=epoch, queries=queries_done
+                )
+
+        epoch_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        logger.log(
+            "epoch", epoch=epoch, loss=epoch_loss,
+            steps=len(losses), queries=queries_done,
+        )
+
+        if (epoch + 1) % tc.checkpoint_every_epochs == 0:
+            ckpt.save(epoch, jax.device_get(state))
+
+        if (
+            res.database_sets is not None
+            and (epoch + 1) % tc.eval_every_epochs == 0
+        ):
+            results = evaluate_model(
+                embed_fn,
+                model_vars(state),
+                res.database_sets,
+                res.query_sets,
+                res.loader,
+                batch_size=cfg.eval.batch_size,
+                num_neighbors=cfg.eval.top_k,
+            )
+            logger.log(
+                "eval",
+                epoch=epoch,
+                one_percent_recall=results["ave_one_percent_recall"],
+                recall_at_1=float(np.asarray(results["ave_recall"])[0]),
+            )
+            write_results(results, f"{tc.log_dir}/{cfg.eval.output_file}")
+
+    ckpt.close()
+    return {"state": jax.device_get(state), "eval": results, "model": model}

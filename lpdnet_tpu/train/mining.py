@@ -1,0 +1,79 @@
+"""Hard-negative mining against cached full-train-set descriptors.
+
+Reference: ``get_latent_vectors`` / ``get_random_hard_negatives`` /
+``TRAINING_LATENT_VECTORS`` in ``train_pointnetvlad.py`` (SURVEY C16, call
+stack §3.5): after warm-up epochs, the driver periodically recomputes
+descriptors for *all* training queries, and each new tuple mixes in the
+negatives nearest to the query in descriptor space.
+
+TPU-native changes: the full-dataset sweep is a batched jitted forward (one
+padded tail batch instead of ragged batches), and the per-query "nearest
+negatives" search is a NumPy argpartition over the cached matrix rather than
+building an sklearn KDTree per query — at 256-D, exact brute force over a
+few thousand candidates is faster than tree construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from lpdnet_tpu.data.tuples import TupleSampler
+
+
+class DescriptorCache:
+    """Cached training-set descriptors + hard-negative queries."""
+
+    def __init__(self, sampler: TupleSampler, batch_size: int = 64):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.vectors: Optional[np.ndarray] = None  # (num_queries, D)
+        self.row_of: Dict[int, int] = {
+            idx: row for row, idx in enumerate(sampler.all_indices)
+        }
+
+    def refresh(self, embed_fn: Callable, variables) -> np.ndarray:
+        """Recompute descriptors for every training query (the reference's
+        full-dataset forward sweep, batched + padded to a fixed shape so the
+        jitted embed function compiles once)."""
+        indices = self.sampler.all_indices
+        bs = self.batch_size
+        outs: List[np.ndarray] = []
+        for start in range(0, len(indices), bs):
+            ids = indices[start : start + bs]
+            pts = np.stack([self.sampler.load(i) for i in ids])
+            pad = bs - len(ids)
+            if pad:
+                pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
+            vecs = np.asarray(embed_fn(variables, pts))
+            outs.append(vecs[: len(ids)])
+        self.vectors = np.concatenate(outs, axis=0)
+        return self.vectors
+
+    @property
+    def ready(self) -> bool:
+        return self.vectors is not None
+
+    def hard_negatives(
+        self,
+        query_idx: int,
+        num: int,
+        rng: np.random.RandomState,
+        sampled_pool: Optional[int] = None,
+    ) -> List[int]:
+        """The ``num`` negatives of ``query_idx`` nearest to it in descriptor
+        space (reference ``get_random_hard_negatives``: sample a random
+        candidate pool from the query's negative set, then take the
+        descriptor-space nearest)."""
+        assert self.vectors is not None
+        negs = self.sampler.queries[query_idx]["negatives"]
+        if sampled_pool is not None and len(negs) > sampled_pool:
+            negs = list(rng.choice(negs, sampled_pool, replace=False))
+        rows = np.asarray([self.row_of[int(n)] for n in negs])
+        qv = self.vectors[self.row_of[query_idx]]
+        d = ((self.vectors[rows] - qv[None, :]) ** 2).sum(-1)
+        take = min(num, len(rows))
+        nearest = np.argpartition(d, take - 1)[:take]
+        nearest = nearest[np.argsort(d[nearest])]
+        return [int(negs[i]) for i in nearest]

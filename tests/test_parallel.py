@@ -1,0 +1,134 @@
+"""Data-parallel sharding over the virtual 8-device CPU mesh: the sharded
+train step must match the single-device step numerically, and batches must
+actually shard (SURVEY §4 "distributed without a cluster")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lpdnet_tpu.configs import Config, ModelConfig, TrainConfig
+from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+from lpdnet_tpu.data.tuples import TupleSampler
+from lpdnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from lpdnet_tpu.train.state import create_train_state
+from lpdnet_tpu.train.step import make_embed_fn, make_train_step
+
+N = 64
+
+
+def make_bits():
+    cfg_m = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, use_input_transform=False,
+    )
+    cfg_t = TrainConfig(
+        batch_num_queries=8, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3,
+    )
+    model, state = create_train_state(cfg_m, cfg_t, jax.random.key(0))
+    ds = make_synthetic_dataset(num_places=8, submaps_per_place=4, num_points=N)
+    sampler = TupleSampler(ds.queries, ds.loader, num_pos=2, num_neg=4)
+    rng = np.random.RandomState(0)
+    _, batch = next(sampler.epoch_batches(8, rng))
+    return model, state, cfg_t, batch
+
+
+def test_mesh_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_batch_actually_sharded():
+    mesh = make_mesh(8)
+    x = jnp.zeros((8, N, 3))
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert len(sharded.sharding.device_set) == 8
+    # Each device holds 1/8 of the batch.
+    shard = sharded.addressable_shards[0]
+    assert shard.data.shape == (1, N, 3)
+
+
+def test_sharded_step_matches_single_device():
+    model, state, cfg_t, batch = make_bits()
+    mesh = make_mesh(8)
+
+    step_single = make_train_step(model, cfg_t.loss, donate=False)
+    _, loss_s = step_single(state, batch)
+
+    step_mesh = make_train_step(model, cfg_t.loss, mesh=mesh, donate=False)
+    state_m = replicate(state, mesh)
+    batch_m = shard_batch(batch, mesh)
+    state_m2, loss_m = step_mesh(state_m, batch_m)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-4)
+    # The sharded step's output state is still replicated (no silent reshard).
+    for leaf in jax.tree_util.tree_leaves(state_m2.params):
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_gradients_match_single_device():
+    # Gradients (pre-optimizer) must agree across the sharding boundary —
+    # comparing post-Adam params would amplify float-order noise in
+    # near-zero gradients to the full learning-rate scale.
+    from lpdnet_tpu.losses import loss_from_config
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, state, cfg_t, batch = make_bits()
+    mesh = make_mesh(8)
+    p, m = 2, 4
+
+    def loss_fn(params, flat, b):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            flat, train=True, mutable=["batch_stats"],
+        )
+        desc = out.reshape(b, 1 + p + m + 1, -1)
+        return loss_from_config(
+            cfg_t.loss, desc[:, 0], desc[:, 1:1 + p],
+            desc[:, 1 + p:1 + p + m], desc[:, -1],
+        )
+
+    flat = np.concatenate(
+        [batch["query"][:, None], batch["positives"], batch["negatives"],
+         batch["other_neg"][:, None]], axis=1,
+    ).reshape(-1, N, 3)
+    b = batch["query"].shape[0]
+
+    g_single = jax.grad(loss_fn)(state.params, flat, b)
+    grad_fn = jax.jit(
+        jax.grad(loss_fn),
+        static_argnums=(2,),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))),
+    )
+    g_mesh = grad_fn(replicate(state.params, mesh), jnp.asarray(flat), b)
+
+    # Reduction-order differences (sharded partial sums + psum vs one sum)
+    # compound through the BatchNorm chain; require close direction + scale
+    # rather than elementwise bit-parity.
+    for a, c in zip(
+        jax.tree_util.tree_leaves(g_single),
+        jax.tree_util.tree_leaves(jax.device_get(g_mesh)),
+    ):
+        a, c = np.asarray(a).ravel(), np.asarray(c).ravel()
+        na, nc = np.linalg.norm(a), np.linalg.norm(c)
+        if na < 1e-7 and nc < 1e-7:
+            continue
+        cos = float(np.dot(a, c) / (na * nc))
+        assert cos > 0.999, cos
+        np.testing.assert_allclose(na, nc, rtol=5e-3)
+
+
+def test_sharded_embed_matches_single_device():
+    model, state, cfg_t, batch = make_bits()
+    mesh = make_mesh(8)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pts = batch["query"]  # (8, N, 3)
+
+    single = make_embed_fn(model)(variables, pts)
+    sharded = make_embed_fn(model, mesh=mesh)(
+        replicate(variables, mesh),
+        jax.device_put(jnp.asarray(pts), batch_sharding(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=1e-4, atol=1e-5
+    )

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Training CLI (reference: ``python train_pointnetvlad.py --dataset_folder ...``
+— SURVEY C15, L3 driver layer).
+
+Examples:
+  python train.py --preset baseline --dataset_folder benchmark_datasets
+  python train.py --preset lpd_baseline --max_epoch 30 --resume
+  python train.py --preset refine --trunk lpdnet
+  python train.py --synthetic            # no dataset needed: synthetic smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+from lpdnet_tpu.configs import PRESETS, apply_overrides
+from lpdnet_tpu.data.binio import load_pc_file
+from lpdnet_tpu.data.pickles import get_queries_dict, get_sets_dict
+from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+from lpdnet_tpu.data.tuples import TupleSampler
+from lpdnet_tpu.train.loop import TrainResources, train
+from lpdnet_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="baseline", choices=sorted(PRESETS))
+    p.add_argument("--trunk", default=None, choices=["pointnetvlad", "lpdnet"])
+    p.add_argument("--dataset_folder", default=None)
+    p.add_argument("--train_file", default=None)
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--batch_num_queries", type=int, default=None)
+    p.add_argument("--positives_per_query", type=int, default=None)
+    p.add_argument("--negatives_per_query", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--margin_1", type=float, default=None)
+    p.add_argument("--margin_2", type=float, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no_mesh", action="store_true",
+                   help="single-device (skip mesh sharding)")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic clustered dataset (smoke)")
+    p.add_argument("--eval_database_file", default=None)
+    p.add_argument("--eval_query_file", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = PRESETS[args.preset]()
+
+    over = {}
+    if args.trunk: over["model.trunk"] = args.trunk
+    if args.dataset_folder: over["data.dataset_folder"] = args.dataset_folder
+    if args.train_file: over["data.train_file"] = args.train_file
+    if args.eval_database_file: over["data.eval_database_file"] = args.eval_database_file
+    if args.eval_query_file: over["data.eval_query_file"] = args.eval_query_file
+    if args.log_dir: over["train.log_dir"] = args.log_dir
+    if args.max_epoch is not None: over["train.max_epoch"] = args.max_epoch
+    if args.batch_num_queries is not None:
+        over["train.batch_num_queries"] = args.batch_num_queries
+    if args.positives_per_query is not None:
+        over["train.positives_per_query"] = args.positives_per_query
+    if args.negatives_per_query is not None:
+        over["train.negatives_per_query"] = args.negatives_per_query
+    if args.learning_rate is not None:
+        over["train.base_learning_rate"] = args.learning_rate
+    if args.margin_1 is not None: over["train.loss.margin_1"] = args.margin_1
+    if args.margin_2 is not None: over["train.loss.margin_2"] = args.margin_2
+    if args.resume: over["train.resume"] = True
+    if args.seed is not None: over["train.seed"] = args.seed
+    if args.num_devices is not None: over["mesh.num_devices"] = args.num_devices
+    cfg = apply_overrides(cfg, **over)
+
+    if args.synthetic:
+        cfg = apply_overrides(
+            cfg,
+            **{
+                "model.num_points": 256, "model.feature_dim": 128,
+                "model.num_clusters": 16, "model.output_dim": 64,
+                "model.use_input_transform": False,
+                "train.batch_num_queries": 4,
+                "train.negatives_per_query": 6,
+                "train.base_learning_rate": 1e-3,
+                "train.mining.warmup_epochs": 1,
+            },
+        )
+        ds = make_synthetic_dataset(
+            num_places=16, submaps_per_place=8,
+            num_points=cfg.model.num_points, seed=cfg.train.seed,
+        )
+        res = TrainResources(
+            sampler=TupleSampler(
+                ds.queries, ds.loader,
+                num_pos=cfg.train.positives_per_query,
+                num_neg=cfg.train.negatives_per_query,
+            ),
+            loader=ds.loader,
+            database_sets=ds.database_sets,
+            query_sets=ds.query_sets,
+        )
+    else:
+        queries = get_queries_dict(
+            os.path.join(cfg.data.dataset_folder, cfg.data.train_file)
+            if not os.path.exists(cfg.data.train_file) else cfg.data.train_file
+        )
+
+        def loader(fname: str) -> np.ndarray:
+            return load_pc_file(
+                fname, cfg.data.dataset_folder, cfg.data.num_points
+            )
+
+        db_sets = q_sets = None
+        db_path = cfg.data.eval_database_file
+        if os.path.exists(db_path):
+            db_sets = get_sets_dict(db_path)
+            q_sets = get_sets_dict(cfg.data.eval_query_file)
+        res = TrainResources(
+            sampler=TupleSampler(
+                queries, loader,
+                num_pos=cfg.train.positives_per_query,
+                num_neg=cfg.train.negatives_per_query,
+            ),
+            loader=loader,
+            database_sets=db_sets,
+            query_sets=q_sets,
+        )
+
+    logger = MetricsLogger(cfg.train.log_dir)
+    out = train(cfg, res, use_mesh=not args.no_mesh, logger=logger)
+    if out["eval"]:
+        print(
+            f"final ave recall@1%: {out['eval']['ave_one_percent_recall']:.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
