@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: 4096-pt submap inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "submaps_per_sec_per_chip", "value": N, "unit": "submaps/s",
+   "vs_baseline": N / 1000}
+
+``vs_baseline`` is measured against the project north-star from
+BASELINE.json: >= 1000 submaps/sec/chip for full LPD-Net inference
+(on-device 10-D eigen-features + dual-kNN graph trunk + NetVLAD) on v5e.
+The PyTorch reference publishes no throughput numbers (BASELINE.md), so the
+north-star target is the baseline denominator.
+
+Extra diagnostic metrics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_throughput(
+    batch_sizes=(16, 32, 64),
+    iters: int = 10,
+):
+    """Time ``iters`` forwards chained inside ONE jitted lax.scan.
+
+    Two reasons: (1) this backend's ``block_until_ready`` does not wait for
+    remote completion (only host transfer does), and (2) a single dispatch
+    amortizes the ~24 ms tunnel round-trip out of the measurement. The scan
+    carry perturbs the input each iteration so XLA cannot hoist the forward
+    out of the loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lpdnet_tpu.configs import ModelConfig
+    from lpdnet_tpu.models.model import init_model
+
+    cfg = ModelConfig(trunk="lpdnet")
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+
+    @jax.jit
+    def run(variables, points):
+        def body(carry, _):
+            out = model.apply(
+                variables, points + carry * 1e-30, train=False
+            )
+            return jnp.sum(out), None
+        carry, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters
+        )
+        return carry
+
+    rs = np.random.RandomState(0)
+    best = 0.0
+    best_bs = 0
+    for bs in batch_sizes:
+        pts = jnp.asarray(
+            rs.randn(bs, cfg.num_points, 3).astype(np.float32) * 0.3
+        )
+        try:
+            np.asarray(run(variables, pts))  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(run(variables, pts))  # host transfer = full sync
+            dt = time.perf_counter() - t0
+        except Exception as e:  # OOM at large batch: stop scaling up
+            print(f"batch {bs}: {type(e).__name__}: {e}", file=sys.stderr)
+            break
+        rate = bs * iters / dt
+        print(
+            f"batch {bs}: {rate:.1f} submaps/s ({dt / iters * 1e3:.2f} ms/iter)",
+            file=sys.stderr,
+        )
+        if rate > best:
+            best, best_bs = rate, bs
+    return best, best_bs
+
+
+def main():
+    best, best_bs = bench_throughput()
+    result = {
+        "metric": "submaps_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "submaps/s",
+        "vs_baseline": round(best / 1000.0, 4),
+        "detail": {
+            "model": "lpdnet (on-device 10-D features + dual-kNN + NetVLAD)",
+            "num_points": 4096,
+            "best_batch": best_bs,
+            "baseline": "north-star 1000 submaps/s/chip (BASELINE.json)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

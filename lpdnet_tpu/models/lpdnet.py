@@ -20,13 +20,23 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from lpdnet_tpu.ops.edgeconv import edge_features
+from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices
 from lpdnet_tpu.models.pointnet import PointMLP
 
 
 class EdgeConv(nn.Module):
-    """Shared MLP over ``[x_j - x_i, x_i]`` edges + max over neighbours."""
+    """Shared MLP over ``[x_j - x_i, x_i]`` edges + max over neighbours.
+
+    TPU optimization: the edge Dense is linear, so
+    ``W @ [x_j - x_i, x_i] = W1 x_j + (W2 - W1) x_i`` with
+    ``W = [W1; W2]``. Both projections are computed ONCE per *point*
+    (two (B,N,C)@(C,width) MXU matmuls) instead of once per *edge*
+    ((B,N,k,2C)@(2C,width)) — a k-fold FLOP cut — and the k-wide gather
+    moves ``width`` channels instead of ``2C``. Parameters are identical
+    to the naive concat formulation (same kernel layout), verified by
+    ``tests/test_models.py::test_edgeconv_decomposition_matches_naive``.
+    """
 
     width: int
 
@@ -35,8 +45,23 @@ class EdgeConv(nn.Module):
         self, x: jnp.ndarray, idx: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         # x: (B, N, C), idx: (B, N, k) -> (B, N, width)
-        e = edge_features(x, idx)  # (B, N, k, 2C)
-        e = nn.Dense(self.width, use_bias=False, name="dense")(e)
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2 * c, self.width),
+            jnp.float32,
+        )
+        w_nbr = kernel[:c]  # multiplies (x_j - x_i): contributes W1 x_j
+        w_ctr = kernel[c:]  # multiplies x_i
+        proj_nbr = jnp.einsum(
+            "bnc,cd->bnd", x, w_nbr, preferred_element_type=jnp.float32
+        )
+        proj_ctr = jnp.einsum(
+            "bnc,cd->bnd", x, w_ctr - w_nbr,
+            preferred_element_type=jnp.float32,
+        )
+        e = gather_neighbors(proj_nbr, idx) + proj_ctr[:, :, None, :]
         e = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, name="bn"
         )(e)
@@ -65,13 +90,21 @@ class LPDNetFeat(nn.Module):
     knn_block: int = 1024
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        idx_xyz: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         xyz = x[..., :3]
         h = PointMLP(list(self.pre_widths), relu_last=True, name="pre")(
             x, train=train
         )
-        # Graph 1: neighbourhoods in Cartesian space (fixed geometry).
-        idx_xyz = knn_indices(xyz, self.k, block=self.knn_block)
+        # Graph 1: neighbourhoods in Cartesian space (fixed geometry). The
+        # on-device feature stage already ran this exact kNN search —
+        # ``idx_xyz`` reuses it instead of paying for a second one.
+        if idx_xyz is None:
+            idx_xyz = knn_indices(xyz, self.k, block=self.knn_block)
         h = EdgeConv(self.spatial_width, name="edge_spatial")(
             h, idx_xyz, train=train
         )

@@ -23,7 +23,7 @@ from lpdnet_tpu.configs import ModelConfig
 from lpdnet_tpu.models.lpdnet import LPDNetFeat
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
 from lpdnet_tpu.models.pointnet import PointNetFeat
-from lpdnet_tpu.ops.features import attach_features
+from lpdnet_tpu.ops.features import eigen_features_and_knn
 
 
 class DescriptorNet(nn.Module):
@@ -37,19 +37,26 @@ class DescriptorNet(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
 
         if cfg.trunk == "lpdnet":
+            idx_xyz = None
             if cfg.compute_features_on_device and x.shape[-1] == 3:
-                x = attach_features(
+                # Fused feature stage: masked-moment features + the xyz kNN
+                # graph from one distance pass; the graph is reused as the
+                # trunk's Cartesian graph when the k's line up.
+                feats, idx = eigen_features_and_knn(
                     x,
                     cfg.features.k,
                     eps=cfg.features.eps,
                     block=cfg.features.knn_block,
                 )
+                x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
+                if cfg.features.k == cfg.graph_k:
+                    idx_xyz = idx
             trunk_out = LPDNetFeat(
                 feature_dim=cfg.feature_dim,
                 k=cfg.graph_k,
                 knn_block=cfg.features.knn_block,
                 name="trunk",
-            )(x.astype(dtype), train=train)
+            )(x.astype(dtype), train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":
             trunk_out = PointNetFeat(
                 feature_dim=cfg.feature_dim,

@@ -14,7 +14,11 @@ from lpdnet_tpu.ops.eigen import eigvals_sym3x3, eigvals_sym2x2, smallest_eigvec
 from lpdnet_tpu.ops.pairwise import pairwise_sqdist
 from lpdnet_tpu.ops.knn import knn_indices, knn_indices_and_dists
 from lpdnet_tpu.ops.gather import gather_neighbors
-from lpdnet_tpu.ops.features import eigen_features, attach_features
+from lpdnet_tpu.ops.features import (
+    eigen_features,
+    eigen_features_and_knn,
+    attach_features,
+)
 from lpdnet_tpu.ops.edgeconv import edge_features
 from lpdnet_tpu.ops.netvlad import netvlad_aggregate
 
@@ -27,6 +31,7 @@ __all__ = [
     "knn_indices_and_dists",
     "gather_neighbors",
     "eigen_features",
+    "eigen_features_and_knn",
     "attach_features",
     "edge_features",
     "netvlad_aggregate",

@@ -15,6 +15,7 @@ Feature list and order (SURVEY C4 / FeatureConfig docstring):
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,43 +27,27 @@ from lpdnet_tpu.ops.eigen import (
 )
 from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices_and_dists
+from lpdnet_tpu.ops.pairwise import pairwise_sqdist
 
 _FOUR_THIRDS_PI = 4.1887902047863905
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def eigen_features(
-    points: jnp.ndarray,
-    k: int = 20,
-    *,
-    eps: float = 1e-8,
-    block: int = 1024,
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _features_from_stats(
+    cov: jnp.ndarray,
+    z_max: jnp.ndarray,
+    z_min: jnp.ndarray,
+    var_z: jnp.ndarray,
+    r_k: jnp.ndarray,
+    k: int,
+    eps: float,
 ) -> jnp.ndarray:
-    """Compute the 10 handcrafted local features for every point.
-
-    Args:
-      points: (B, N, 3) xyz point clouds (normalized submaps).
-      k: neighbourhood size, including the point itself.
-      eps: degeneracy guard for divisions/logs.
-      block: kNN tile size.
-
-    Returns:
-      (B, N, 10) float32 features in the order documented above.
-    """
-    pts = points.astype(jnp.float32)
-    b, n, _ = pts.shape
-
-    idx, sqd = knn_indices_and_dists(pts, pts, k, block=block)
-    nbrs = gather_neighbors(pts, idx)  # (B, N, k, 3)
-
-    mean = jnp.mean(nbrs, axis=2, keepdims=True)
-    centered = nbrs - mean  # (B, N, k, 3)
-    cov = jnp.einsum(
-        "bnki,bnkj->bnij", centered, centered, preferred_element_type=jnp.float32
-    ) / float(k)
-
-    lam = eigvals_sym3x3(cov)  # (B, N, 3) descending
-    lam = jnp.maximum(lam, 0.0)
+    """The 10 features from neighbourhood statistics (shared by both the
+    gather-based and the masked-moment implementations)."""
+    lam = jnp.maximum(eigvals_sym3x3(cov), 0.0)
     lam_sum = jnp.sum(lam, axis=-1)
     safe_sum = jnp.maximum(lam_sum, eps)
     l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
@@ -73,19 +58,12 @@ def eigen_features(
     e = lam / safe_sum[..., None]
     entropy = -jnp.sum(e * jnp.log(jnp.maximum(e, eps)), axis=-1)
 
-    # 2-D features from the xy projection of the neighbourhood.
-    cov2 = cov[..., :2, :2]
-    lam2d = jnp.maximum(eigvals_sym2x2(cov2), 0.0)  # (B, N, 2) descending
+    lam2d = jnp.maximum(eigvals_sym2x2(cov[..., :2, :2]), 0.0)
     scattering_2d = lam2d[..., 0] + lam2d[..., 1]
     linearity_2d = lam2d[..., 1] / jnp.maximum(lam2d[..., 0], eps)
 
-    z = nbrs[..., 2]
-    delta_z = jnp.max(z, axis=-1) - jnp.min(z, axis=-1)
-    std_z = jnp.std(z, axis=-1)
-
-    # Local density: k points inside the sphere of radius r_k (distance to
-    # the farthest of the k neighbours).
-    r_k = jnp.sqrt(jnp.maximum(sqd[..., -1], 0.0))
+    delta_z = z_max - z_min
+    std_z = jnp.sqrt(jnp.maximum(var_z, 0.0))
     density = float(k) / (_FOUR_THIRDS_PI * jnp.maximum(r_k, eps) ** 3 + eps)
 
     normal = smallest_eigvec_sym3x3(cov, lam[..., 2])
@@ -106,6 +84,142 @@ def eigen_features(
         ],
         axis=-1,
     )
+
+
+@partial(jax.jit, static_argnames=("k", "block", "exact", "recall_target"))
+def eigen_features_and_knn(
+    points: jnp.ndarray,
+    k: int = 20,
+    *,
+    eps: float = 1e-8,
+    block: int = 512,
+    exact: bool = False,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free feature stage + the xyz kNN graph in ONE pass.
+
+    TPU-native formulation (SURVEY §7 "Hard parts"): instead of gathering
+    each point's k neighbours and forming covariances per point, the
+    neighbourhood statistics are **masked-moment matmuls** on the MXU.
+    Per query tile:
+
+      1. one (tile, N) distance block (MXU matmul);
+      2. ``approx_min_k`` -> neighbour indices (returned, reused as the
+         LPD trunk's Cartesian graph) + the k-th distance;
+      3. neighbour mask = ``d <= d_k`` -> moments via
+         ``mask @ [x, y, z, x^2, ..., yz]`` (one (tile, N) @ (N, 9)
+         matmul) -> mean/covariance/z-variance; z extrema via masked
+         min/max on the VPU.
+
+    No (B, N, k, C) gather tensor ever exists, and the xyz kNN search is
+    shared with the trunk instead of run twice. Ties at the k-th distance
+    make the mask slightly larger than k; statistics divide by the true
+    mask count, matching an exact-k oracle to ~1e-3.
+
+    Returns:
+      (features (B, N, 10) float32, idx (B, N, k) int32).
+    """
+    pts = points.astype(jnp.float32)
+    b, n, _ = pts.shape
+
+    block = min(block, _round_up(n, 8))
+    n_pad = _round_up(n, block)
+    num_blocks = n_pad // block
+    q_pad = jnp.pad(pts, ((0, 0), (0, n_pad - n), (0, 0)))
+    q_tiles = q_pad.reshape(b, num_blocks, block, 3).transpose(1, 0, 2, 3)
+
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    moments = jnp.stack(
+        [x, y, z, x * x, y * y, z * z, x * y, x * z, y * z], axis=-1
+    )  # (B, N, 9)
+
+    def scan_body(carry, q_tile):
+        d = pairwise_sqdist(q_tile, pts)  # (B, blk, N)
+        if exact:
+            neg_d, idx = jax.lax.top_k(-d, k)
+            kd = -neg_d
+        else:
+            kd, idx = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        kth = kd[..., -1:]  # (B, blk, 1)
+        mask = (d <= kth).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)  # (B, blk)
+        sums = jnp.einsum(
+            "bqn,bnm->bqm", mask, moments, preferred_element_type=jnp.float32
+        )  # (B, blk, 9)
+        mean = sums[..., :3] / cnt[..., None]
+        raw2 = sums[..., 3:] / cnt[..., None]  # E[x2,y2,z2,xy,xz,yz]
+        mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+        cxx = raw2[..., 0] - mx * mx
+        cyy = raw2[..., 1] - my * my
+        czz = raw2[..., 2] - mz * mz
+        cxy = raw2[..., 3] - mx * my
+        cxz = raw2[..., 4] - mx * mz
+        cyz = raw2[..., 5] - my * mz
+        cov = jnp.stack(
+            [
+                jnp.stack([cxx, cxy, cxz], -1),
+                jnp.stack([cxy, cyy, cyz], -1),
+                jnp.stack([cxz, cyz, czz], -1),
+            ],
+            axis=-2,
+        )  # (B, blk, 3, 3)
+        z_nb = jnp.where(mask > 0, z[:, None, :], -jnp.inf)
+        z_max = jnp.max(z_nb, axis=-1)
+        z_min = jnp.min(
+            jnp.where(mask > 0, z[:, None, :], jnp.inf), axis=-1
+        )
+        feats = _features_from_stats(
+            cov, z_max, z_min, czz, jnp.sqrt(jnp.maximum(kth[..., 0], 0.0)),
+            k, eps,
+        )
+        return carry, (feats, idx.astype(jnp.int32))
+
+    _, (feats, idx) = jax.lax.scan(scan_body, None, q_tiles)
+    feats = feats.transpose(1, 0, 2, 3).reshape(b, n_pad, 10)[:, :n]
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, n_pad, k)[:, :n]
+    return feats, idx
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def eigen_features(
+    points: jnp.ndarray,
+    k: int = 20,
+    *,
+    eps: float = 1e-8,
+    block: int = 1024,
+) -> jnp.ndarray:
+    """Gather-based exact-k feature computation (oracle / portable path).
+
+    Args:
+      points: (B, N, 3) xyz point clouds (normalized submaps).
+      k: neighbourhood size, including the point itself.
+      eps: degeneracy guard for divisions/logs.
+      block: kNN tile size.
+
+    Returns:
+      (B, N, 10) float32 features in the order documented above.
+
+    The model's hot path uses ``eigen_features_and_knn`` (masked-moment
+    matmuls, no gather); this exact-k version is its correctness oracle and
+    what offline 13-D ``.bin`` preparation uses.
+    """
+    pts = points.astype(jnp.float32)
+
+    idx, sqd = knn_indices_and_dists(pts, pts, k, block=block, exact=True)
+    nbrs = gather_neighbors(pts, idx)  # (B, N, k, 3)
+
+    mean = jnp.mean(nbrs, axis=2, keepdims=True)
+    centered = nbrs - mean  # (B, N, k, 3)
+    cov = jnp.einsum(
+        "bnki,bnkj->bnij", centered, centered, preferred_element_type=jnp.float32
+    ) / float(k)
+
+    z = nbrs[..., 2]
+    z_max = jnp.max(z, axis=-1)
+    z_min = jnp.min(z, axis=-1)
+    var_z = jnp.var(z, axis=-1)
+    r_k = jnp.sqrt(jnp.maximum(sqd[..., -1], 0.0))
+    return _features_from_stats(cov, z_max, z_min, var_z, r_k, k, eps)
 
 
 @partial(jax.jit, static_argnames=("k", "block"))

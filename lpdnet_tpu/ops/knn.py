@@ -30,7 +30,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("k", "block", "exclude_self"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "block", "exclude_self", "exact", "recall_target"),
+)
 def knn_indices_and_dists(
     queries: jnp.ndarray,
     database: jnp.ndarray,
@@ -38,6 +41,8 @@ def knn_indices_and_dists(
     *,
     block: int = 1024,
     exclude_self: bool = False,
+    exact: bool = False,
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest database points for every query point, blockwise.
 
@@ -49,6 +54,11 @@ def knn_indices_and_dists(
         time. Rounded to cover Nq exactly (queries are zero-padded).
       exclude_self: if True, assumes queries is database (Nq == Nd) and masks
         the diagonal so a point is not its own neighbour.
+      exact: use ``lax.top_k`` (exact, slow on TPU) instead of
+        ``lax.approx_min_k`` (the TPU PartialReduce selection path, ~5x
+        faster at ~0.99 per-neighbour recall for k=20 over 4096; exact on
+        CPU where it falls back to full sort).
+      recall_target: per-neighbour recall for the approximate path.
 
     Returns:
       (idx, dist): (B, Nq, k) int32 neighbour indices and (B, Nq, k) float32
@@ -79,8 +89,14 @@ def knn_indices_and_dists(
         d = pairwise_sqdist(q_tile, db)  # (B, block, Nd)
         if exclude_self:
             d = jnp.where(col_ids == rows[None, :, None], jnp.inf, d)
-        neg_d, idx = jax.lax.top_k(-d, k)
-        return carry, (idx.astype(jnp.int32), -neg_d)
+        if exact:
+            neg_d, idx = jax.lax.top_k(-d, k)
+            dist = -neg_d
+        else:
+            dist, idx = jax.lax.approx_min_k(
+                d, k, recall_target=recall_target
+            )
+        return carry, (idx.astype(jnp.int32), dist)
 
     _, (idx, dist) = jax.lax.scan(scan_body, None, (q_tiles, row_ids))
     # (num_blocks, B, block, k) -> (B, Nq, k)
@@ -96,6 +112,8 @@ def knn_indices(
     features: Optional[jnp.ndarray] = None,
     block: int = 1024,
     exclude_self: bool = False,
+    exact: bool = False,
+    recall_target: float = 0.95,
 ) -> jnp.ndarray:
     """kNN graph over one point set (the common model-side call).
 
@@ -114,6 +132,7 @@ def knn_indices(
     """
     space = features if features is not None else points
     idx, _ = knn_indices_and_dists(
-        space, space, k, block=block, exclude_self=exclude_self
+        space, space, k, block=block, exclude_self=exclude_self,
+        exact=exact, recall_target=recall_target,
     )
     return idx
