@@ -41,7 +41,7 @@ def bench_throughput(
     from lpdnet_tpu.configs import ModelConfig
     from lpdnet_tpu.models.model import init_model
 
-    cfg = ModelConfig(trunk="lpdnet")
+    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
 
     @jax.jit
@@ -82,6 +82,9 @@ def bench_throughput(
 
 
 def main():
+    from lpdnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     best, best_bs = bench_throughput()
     result = {
         "metric": "submaps_per_sec_per_chip",
@@ -89,7 +92,7 @@ def main():
         "unit": "submaps/s",
         "vs_baseline": round(best / 1000.0, 4),
         "detail": {
-            "model": "lpdnet (on-device 10-D features + dual-kNN + NetVLAD)",
+            "model": "lpdnet bf16 (on-device 10-D features + dual-kNN + NetVLAD)",
             "num_points": 4096,
             "best_batch": best_bs,
             "baseline": "north-star 1000 submaps/s/chip (BASELINE.json)",

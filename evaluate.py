@@ -40,10 +40,14 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     return p.parse_args()
 
 
 def main():
+    from lpdnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     cfg = PRESETS[args.preset]()
     over = {"train.log_dir": args.log_dir}
@@ -54,6 +58,7 @@ def main():
     if args.eval_query_file: over["data.eval_query_file"] = args.eval_query_file
     if args.output_file: over["eval.output_file"] = args.output_file
     if args.batch_size is not None: over["eval.batch_size"] = args.batch_size
+    if args.dtype: over["model.compute_dtype"] = args.dtype
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:

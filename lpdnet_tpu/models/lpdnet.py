@@ -39,6 +39,19 @@ class EdgeConv(nn.Module):
     """
 
     width: int
+    dtype: jnp.dtype = jnp.float32
+    # 'post': BatchNorm after the max aggregation (B, N, C) — the TPU-fast
+    #   default. For positive BN scales (the trained norm), relu and the
+    #   affine commute with max: relu(bn(max_j(a_j) + b_i)) ==
+    #   max_j relu(bn(a_j + b_i)); training statistics also differ
+    #   (per-point instead of per-edge), so this is a deliberate design
+    #   variant, not a bit-exact rewrite. With the max directly consuming
+    #   the gather, XLA fuses them and the (B, N, k, C) edge tensor never
+    #   reaches HBM.
+    # 'edge': BatchNorm on the per-edge tensor before relu/max — the
+    #   reference's literal conv-BN-relu-max placement (SURVEY C11), used
+    #   by the parity oracle.
+    bn_placement: str = "post"
 
     @nn.compact
     def __call__(
@@ -46,6 +59,7 @@ class EdgeConv(nn.Module):
     ) -> jnp.ndarray:
         # x: (B, N, C), idx: (B, N, k) -> (B, N, width)
         c = x.shape[-1]
+        x = x.astype(self.dtype)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -55,18 +69,24 @@ class EdgeConv(nn.Module):
         w_nbr = kernel[:c]  # multiplies (x_j - x_i): contributes W1 x_j
         w_ctr = kernel[c:]  # multiplies x_i
         proj_nbr = jnp.einsum(
-            "bnc,cd->bnd", x, w_nbr, preferred_element_type=jnp.float32
+            "bnc,cd->bnd", x, w_nbr.astype(self.dtype),
+            preferred_element_type=self.dtype,
         )
         proj_ctr = jnp.einsum(
-            "bnc,cd->bnd", x, w_ctr - w_nbr,
-            preferred_element_type=jnp.float32,
+            "bnc,cd->bnd", x, (w_ctr - w_nbr).astype(self.dtype),
+            preferred_element_type=self.dtype,
         )
-        e = gather_neighbors(proj_nbr, idx) + proj_ctr[:, :, None, :]
-        e = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, name="bn"
-        )(e)
-        e = nn.relu(e)
-        return jnp.max(e, axis=2)
+        bn = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9,
+            dtype=jnp.float32 if train else self.dtype, name="bn",
+        )
+        if self.bn_placement == "post":
+            agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)
+            return nn.relu(bn(agg + proj_ctr))
+        elif self.bn_placement == "edge":
+            e = gather_neighbors(proj_nbr, idx) + proj_ctr[:, :, None, :]
+            return jnp.max(nn.relu(bn(e)), axis=2)
+        raise ValueError(f"unknown bn_placement: {self.bn_placement!r}")
 
 
 class LPDNetFeat(nn.Module):
@@ -88,6 +108,8 @@ class LPDNetFeat(nn.Module):
     feature_width: int = 128
     post_widths: Sequence[int] = (256,)
     knn_block: int = 1024
+    dtype: jnp.dtype = jnp.float32
+    edge_bn_placement: str = "post"
 
     @nn.compact
     def __call__(
@@ -97,25 +119,29 @@ class LPDNetFeat(nn.Module):
         idx_xyz: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         xyz = x[..., :3]
-        h = PointMLP(list(self.pre_widths), relu_last=True, name="pre")(
-            x, train=train
-        )
+        h = PointMLP(
+            list(self.pre_widths), relu_last=True, dtype=self.dtype,
+            name="pre",
+        )(x, train=train)
         # Graph 1: neighbourhoods in Cartesian space (fixed geometry). The
         # on-device feature stage already ran this exact kNN search —
         # ``idx_xyz`` reuses it instead of paying for a second one.
         if idx_xyz is None:
             idx_xyz = knn_indices(xyz, self.k, block=self.knn_block)
-        h = EdgeConv(self.spatial_width, name="edge_spatial")(
-            h, idx_xyz, train=train
-        )
+        h = EdgeConv(
+            self.spatial_width, dtype=self.dtype,
+            bn_placement=self.edge_bn_placement, name="edge_spatial",
+        )(h, idx_xyz, train=train)
         # Graph 2: neighbourhoods rebuilt in learned-feature space.
         idx_feat = knn_indices(h, self.k, block=self.knn_block)
-        h = EdgeConv(self.feature_width, name="edge_feature")(
-            h, idx_feat, train=train
-        )
+        h = EdgeConv(
+            self.feature_width, dtype=self.dtype,
+            bn_placement=self.edge_bn_placement, name="edge_feature",
+        )(h, idx_feat, train=train)
         h = PointMLP(
             list(self.post_widths) + [self.feature_dim],
             relu_last=False,
+            dtype=self.dtype,
             name="post",
         )(h, train=train)
         return h

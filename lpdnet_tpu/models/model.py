@@ -55,15 +55,17 @@ class DescriptorNet(nn.Module):
                 feature_dim=cfg.feature_dim,
                 k=cfg.graph_k,
                 knn_block=cfg.features.knn_block,
+                dtype=dtype,
                 name="trunk",
-            )(x.astype(dtype), train=train, idx_xyz=idx_xyz)
+            )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":
             trunk_out = PointNetFeat(
                 feature_dim=cfg.feature_dim,
                 use_input_transform=cfg.use_input_transform,
                 use_feature_transform=cfg.use_feature_transform,
+                dtype=dtype,
                 name="trunk",
-            )(x.astype(dtype), train=train)
+            )(x, train=train)
         else:
             raise ValueError(f"unknown trunk: {cfg.trunk!r}")
 
@@ -73,8 +75,9 @@ class DescriptorNet(nn.Module):
             output_dim=cfg.output_dim,
             add_batch_norm=cfg.add_batch_norm,
             gating=cfg.gating,
+            dtype=dtype,
             name="netvlad",
-        )(trunk_out.astype(jnp.float32), train=train)
+        )(trunk_out, train=train)
 
         if cfg.normalize_output:
             desc = desc / jnp.sqrt(

@@ -48,6 +48,7 @@ class NetVLADLoupe(nn.Module):
     output_dim: int = 256
     add_batch_norm: bool = True
     gating: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -55,12 +56,15 @@ class NetVLADLoupe(nn.Module):
         k = self.cluster_size
         scale = 1.0 / jnp.sqrt(d)
 
+        # Assignment logits on the compute dtype (a (B*N, D) @ (D, K)
+        # matmul); softmax/aggregation/normalization stay float32.
         logits = nn.Dense(
             k,
             use_bias=not self.add_batch_norm,
             kernel_init=nn.initializers.normal(scale),
+            dtype=self.dtype,
             name="cluster_weights",
-        )(x)
+        )(x.astype(self.dtype)).astype(jnp.float32)
         if self.add_batch_norm:
             logits = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, name="cluster_bn"

@@ -25,19 +25,29 @@ class PointMLP(nn.Module):
     ``relu_last=False`` leaves the final layer linear-after-BN (the trunk's
     1024-D output feeds NetVLAD's soft-assignment without a nonlinearity,
     mirroring the reference's final conv+BN).
+
+    ``dtype``: activation/matmul dtype (bfloat16 on the TPU fast path);
+    params stay float32. BatchNorm statistics are computed in float32 in
+    training mode (bf16 accumulation over B*N samples loses ~2 digits);
+    in inference mode BN is a pure scale/shift and runs in ``dtype``.
     """
 
     widths: Sequence[int]
     relu_last: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bn_dtype = jnp.float32 if train else self.dtype
         for i, w in enumerate(self.widths):
             # No bias: the following BatchNorm's mean subtraction cancels it
             # (a bias here would be a dead parameter with pure-noise grads).
-            x = nn.Dense(w, use_bias=False, name=f"dense_{i}")(x)
+            x = nn.Dense(
+                w, use_bias=False, dtype=self.dtype, name=f"dense_{i}"
+            )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn_{i}"
+                use_running_average=not train, momentum=0.9,
+                dtype=bn_dtype, name=f"bn_{i}",
             )(x)
             if i + 1 < len(self.widths) or self.relu_last:
                 x = nn.relu(x)
@@ -53,12 +63,16 @@ class STN3d(nn.Module):
     """
 
     k: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: (B, N, k) -> (B, k, k)
-        h = PointMLP([64, 128, 1024], relu_last=True)(x, train=train)
+        h = PointMLP([64, 128, 1024], relu_last=True, dtype=self.dtype)(
+            x, train=train
+        )
         h = jnp.max(h, axis=1)  # global max-pool over points
+        h = h.astype(jnp.float32)
         for i, w in enumerate([512, 256]):
             h = nn.Dense(w, use_bias=False, name=f"fc_{i}")(h)
             h = nn.BatchNorm(
@@ -87,21 +101,25 @@ class PointNetFeat(nn.Module):
     feature_dim: int = 1024
     use_input_transform: bool = True
     use_feature_transform: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.use_input_transform:
-            trans = STN3d(k=3, name="stn")(x, train=train)
+            trans = STN3d(k=3, dtype=self.dtype, name="stn")(x, train=train)
             x = jnp.einsum(
                 "bnc,bcd->bnd", x, trans, preferred_element_type=jnp.float32
             )
-        x = PointMLP([64, 64], relu_last=True, name="mlp1")(x, train=train)
+        x = PointMLP([64, 64], relu_last=True, dtype=self.dtype, name="mlp1")(
+            x, train=train
+        )
         if self.use_feature_transform:
-            ftrans = STN3d(k=64, name="fstn")(x, train=train)
+            ftrans = STN3d(k=64, dtype=self.dtype, name="fstn")(x, train=train)
             x = jnp.einsum(
                 "bnc,bcd->bnd", x, ftrans, preferred_element_type=jnp.float32
             )
         x = PointMLP(
-            [64, 128, self.feature_dim], relu_last=False, name="mlp2"
+            [64, 128, self.feature_dim], relu_last=False, dtype=self.dtype,
+            name="mlp2",
         )(x, train=train)
         return x

@@ -36,17 +36,21 @@ def netvlad_aggregate(
       (B, K*D) intra-normalized, L2-normalized VLAD descriptor (before the
       output projection).
     """
-    a = jnp.exp(
-        assignment_logits - jnp.max(assignment_logits, axis=-1, keepdims=True)
-    )
+    logits = assignment_logits.astype(jnp.float32)
+    a = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     a = a / jnp.sum(a, axis=-1, keepdims=True)  # softmax over K
 
     # vlad[b,k,d] = sum_n a[b,n,k] * x[b,n,d]  -  (sum_n a[b,n,k]) * c[k,d]
+    # The aggregation matmul (contraction over N) runs on the features'
+    # dtype (bf16 on the fast path) with fp32 accumulation.
     agg = jnp.einsum(
-        "bnk,bnd->bkd", a, features, preferred_element_type=jnp.float32
+        "bnk,bnd->bkd",
+        a.astype(features.dtype),
+        features,
+        preferred_element_type=jnp.float32,
     )
     a_sum = jnp.sum(a, axis=1)  # (B, K)
-    vlad = agg - a_sum[..., None] * cluster_centers[None]
+    vlad = agg - a_sum[..., None] * cluster_centers[None].astype(jnp.float32)
 
     # Intra-normalization: L2 over the feature axis per cluster.
     vlad = vlad / jnp.sqrt(

@@ -22,10 +22,13 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
       (..., Nq, Nd) squared distances, clamped to >= 0 (the matmul
       decomposition can go slightly negative in floating point).
     """
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (..., Nq, 1)
-    y2 = jnp.sum(y * y, axis=-1, keepdims=True)  # (..., Nd, 1)
+    # The cross-term matmul runs on the input dtype (bf16 inputs hit the
+    # MXU at double rate) with fp32 accumulation; norms and the combine are
+    # always fp32.
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    x2 = jnp.sum(xf * xf, axis=-1, keepdims=True)  # (..., Nq, 1)
+    y2 = jnp.sum(yf * yf, axis=-1, keepdims=True)  # (..., Nd, 1)
     cross = jnp.einsum(
         "...qc,...dc->...qd", x, y, preferred_element_type=jnp.float32
     )

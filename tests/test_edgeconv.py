@@ -28,7 +28,7 @@ def test_edgeconv_decomposition_matches_naive(rng):
     x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
 
-    mod = EdgeConv(width)
+    mod = EdgeConv(width, bn_placement="edge")
     variables = mod.init(jax.random.key(0), x, idx)
     out = mod.apply(variables, x, idx, train=False)
 
@@ -50,7 +50,7 @@ def test_edgeconv_train_mode_finite(rng):
     b, n, k, c = 2, 16, 4, 6
     x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
-    mod = EdgeConv(8)
+    mod = EdgeConv(8)  # default post-aggregation BN
     variables = mod.init(jax.random.key(0), x, idx)
     out, mutated = mod.apply(
         variables, x, idx, train=True, mutable=["batch_stats"]

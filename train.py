@@ -45,6 +45,8 @@ def parse_args():
                    help="single-device (skip mesh sharding)")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                   help="activation/matmul compute dtype")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic clustered dataset (smoke)")
     p.add_argument("--eval_database_file", default=None)
@@ -53,6 +55,9 @@ def parse_args():
 
 
 def main():
+    from lpdnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     cfg = PRESETS[args.preset]()
 
@@ -77,6 +82,7 @@ def main():
     if args.resume: over["train.resume"] = True
     if args.seed is not None: over["train.seed"] = args.seed
     if args.num_devices is not None: over["mesh.num_devices"] = args.num_devices
+    if args.dtype: over["model.compute_dtype"] = args.dtype
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:
