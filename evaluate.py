@@ -86,6 +86,14 @@ def main():
                 fname, cfg.data.dataset_folder, cfg.data.num_points
             )
 
+        from lpdnet_tpu.data.native_loader import NativeBatchLoader
+
+        nbl = NativeBatchLoader(num_points=cfg.data.num_points, dims=3)
+        batch_loader = (
+            (lambda names: nbl.load(names, cfg.data.dataset_folder))
+            if nbl.is_native else None
+        )
+
     model, state = create_train_state(
         cfg.model, cfg.train, jax.random.key(0)
     )
@@ -106,6 +114,7 @@ def main():
     results = evaluate_model(
         embed, variables, database_sets, query_sets, loader,
         batch_size=cfg.eval.batch_size, num_neighbors=cfg.eval.top_k,
+        batch_loader=None if args.synthetic else batch_loader,
     )
     print(format_results(results))
     write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")

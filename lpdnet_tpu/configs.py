@@ -33,7 +33,7 @@ class FeatureConfig:
       5. 2-D linearity            lam2_2d / lam1_2d
       6. max height difference    max(z_nbr) - min(z_nbr)
       7. height std               std(z_nbr)
-      8. local point density      k / ((4/3) pi r_k^3)
+      8. local point density      log1p(k / ((4/3) pi r_k^3))
       9. verticality              1 - |n_z|, n = eigvec of smallest eigenvalue
     """
 

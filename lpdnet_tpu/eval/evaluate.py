@@ -27,13 +27,23 @@ def get_latent_vectors(
     entries: Dict[int, Dict],
     loader: Callable[[str], np.ndarray],
     batch_size: int = 64,
+    batch_loader: Optional[Callable[[List[str]], np.ndarray]] = None,
 ) -> np.ndarray:
-    """Descriptors for one run's submaps, in index order (padded tail)."""
+    """Descriptors for one run's submaps, in index order (padded tail).
+
+    ``batch_loader`` (e.g. the native C++ threaded reader,
+    ``lpdnet_tpu.data.native_loader``) loads each file batch in parallel;
+    without it, files load one by one through ``loader``.
+    """
     indices = sorted(entries.keys())
     outs: List[np.ndarray] = []
     for start in range(0, len(indices), batch_size):
         ids = indices[start : start + batch_size]
-        pts = np.stack([loader(entries[i]["query"]) for i in ids])
+        names = [entries[i]["query"] for i in ids]
+        if batch_loader is not None:
+            pts = batch_loader(names)
+        else:
+            pts = np.stack([loader(n) for n in names])
         pad = batch_size - len(ids)
         if pad:
             pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
@@ -50,6 +60,7 @@ def evaluate_model(
     loader: Callable[[str], np.ndarray],
     batch_size: int = 64,
     num_neighbors: int = 25,
+    batch_loader: Optional[Callable[[List[str]], np.ndarray]] = None,
 ) -> Dict[str, object]:
     """Run the full benchmark; returns averaged metrics.
 
@@ -58,11 +69,15 @@ def evaluate_model(
     SURVEY C9).
     """
     database_vectors = [
-        get_latent_vectors(embed_fn, variables, s, loader, batch_size)
+        get_latent_vectors(
+            embed_fn, variables, s, loader, batch_size, batch_loader
+        )
         for s in database_sets
     ]
     query_vectors = [
-        get_latent_vectors(embed_fn, variables, s, loader, batch_size)
+        get_latent_vectors(
+            embed_fn, variables, s, loader, batch_size, batch_loader
+        )
         for s in query_sets
     ]
 

@@ -64,7 +64,14 @@ def _features_from_stats(
 
     delta_z = z_max - z_min
     std_z = jnp.sqrt(jnp.maximum(var_z, 0.0))
-    density = float(k) / (_FOUR_THIRDS_PI * jnp.maximum(r_k, eps) ** 3 + eps)
+    # Raw density k/((4/3)pi r^3) spans ~4 orders of magnitude (up to
+    # ~1e3-1e4 on normalized submaps) while every other feature is O(1);
+    # fed raw into the first shared Dense it drowns the rest of the input.
+    # log1p compresses it to O(1) monotonically (TPU-build deviation from
+    # the raw value; ordering information is preserved).
+    density = jnp.log1p(
+        float(k) / (_FOUR_THIRDS_PI * jnp.maximum(r_k, eps) ** 3 + eps)
+    )
 
     normal = smallest_eigvec_sym3x3(cov, lam[..., 2])
     verticality = 1.0 - jnp.abs(normal[..., 2])

@@ -36,7 +36,8 @@ class DescriptorCache:
     def refresh(self, embed_fn: Callable, variables) -> np.ndarray:
         """Recompute descriptors for every training query (the reference's
         full-dataset forward sweep, batched + padded to a fixed shape so the
-        jitted embed function compiles once)."""
+        jitted embed function compiles once). Uses the sampler's in-memory
+        cloud cache; cold reads go through its loader."""
         indices = self.sampler.all_indices
         bs = self.batch_size
         outs: List[np.ndarray] = []

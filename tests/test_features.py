@@ -37,7 +37,7 @@ def numpy_eigen_features(points, k, eps=1e-8):
             lam2[1] / max(lam2[0], eps),
             z.max() - z.min(),
             z.std(),
-            k / (FOUR_THIRDS_PI * r**3 + eps),
+            np.log1p(k / (FOUR_THIRDS_PI * r**3 + eps)),
             1.0 - abs(normal[2]),
         ]
     return out

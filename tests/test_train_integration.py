@@ -102,6 +102,25 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     assert "Average Top 1% Recall" in text
 
 
+def test_lpd_training_loop_learns(dataset, tmp_path):
+    """The LPD trunk (on-device features + dual graph) must also learn the
+    synthetic places — guards feature-scale regressions (raw density once
+    drowned the other features and capped recall at ~20%)."""
+    cfg = tiny_config(tmp_path, trunk="lpdnet", epochs=6, warmup=2)
+    res = TrainResources(
+        sampler=TupleSampler(
+            dataset.queries, dataset.loader,
+            num_pos=cfg.train.positives_per_query,
+            num_neg=cfg.train.negatives_per_query,
+        ),
+        loader=dataset.loader,
+        database_sets=dataset.database_sets,
+        query_sets=dataset.query_sets,
+    )
+    out = train(cfg, res, use_mesh=False)
+    assert out["eval"]["ave_one_percent_recall"] >= 75.0, out["eval"]
+
+
 def test_mining_cache_and_hard_negatives(dataset):
     cfg_m = ModelConfig(
         trunk="pointnetvlad", num_points=N, feature_dim=64, num_clusters=8,
