@@ -82,10 +82,26 @@ def bench_throughput(
 
 
 def main():
+    import argparse
+
     from lpdnet_tpu.utils.cache import enable_compilation_cache
 
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace to this directory")
+    args = ap.parse_args()
+
     enable_compilation_cache()
+    if args.trace:
+        import jax.profiler
+
+        jax.profiler.start_trace(args.trace)
     best, best_bs = bench_throughput()
+    if args.trace:
+        import jax.profiler
+
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", file=sys.stderr)
     result = {
         "metric": "submaps_per_sec_per_chip",
         "value": round(best, 2),

@@ -49,7 +49,13 @@ def main():
 
     enable_compilation_cache()
     args = parse_args()
-    cfg = PRESETS[args.preset]()
+    from lpdnet_tpu.utils.checkpoint import load_config
+
+    cfg = load_config(args.log_dir)
+    if cfg is not None:
+        print(f"loaded config from {args.log_dir}/config.json")
+    else:
+        cfg = PRESETS[args.preset]()
     over = {"train.log_dir": args.log_dir}
     if args.trunk: over["model.trunk"] = args.trunk
     if args.dataset_folder: over["data.dataset_folder"] = args.dataset_folder
@@ -62,14 +68,15 @@ def main():
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:
-        cfg = apply_overrides(
-            cfg,
-            **{
-                "model.num_points": 256, "model.feature_dim": 128,
-                "model.num_clusters": 16, "model.output_dim": 64,
-                "model.use_input_transform": False,
-            },
-        )
+        if not os.path.isfile(os.path.join(args.log_dir, "config.json")):
+            cfg = apply_overrides(
+                cfg,
+                **{
+                    "model.num_points": 256, "model.feature_dim": 128,
+                    "model.num_clusters": 16, "model.output_dim": 64,
+                    "model.use_input_transform": False,
+                },
+            )
         ds = make_synthetic_dataset(
             num_places=16, submaps_per_place=8,
             num_points=cfg.model.num_points,

@@ -71,6 +71,9 @@ class ModelConfig:
     features: FeatureConfig = field(default_factory=FeatureConfig)
     # Numerics: bfloat16 activations on the matmul path, fp32 params/reductions.
     compute_dtype: str = "float32"
+    # Pallas aligned-slab max-gather for inference EdgeConv aggregation:
+    # 'auto' = on for TPU backends, off on CPU; 'on' | 'off' force it.
+    pallas_gather: str = "auto"
 
     @property
     def effective_input_dim(self) -> int:

@@ -37,6 +37,8 @@ def get_latent_vectors(
     """
     indices = sorted(entries.keys())
     outs: List[np.ndarray] = []
+    pending = None  # depth-1 dispatch pipeline: load batch i+1 while the
+    # device runs batch i (dispatch is async; np.asarray synchronizes).
     for start in range(0, len(indices), batch_size):
         ids = indices[start : start + batch_size]
         names = [entries[i]["query"] for i in ids]
@@ -47,8 +49,14 @@ def get_latent_vectors(
         pad = batch_size - len(ids)
         if pad:
             pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
-        vecs = np.asarray(embed_fn(variables, pts))
-        outs.append(vecs[: len(ids)])
+        fut = embed_fn(variables, pts)
+        if pending is not None:
+            prev_fut, prev_count = pending
+            outs.append(np.asarray(prev_fut)[:prev_count])
+        pending = (fut, len(ids))
+    if pending is not None:
+        prev_fut, prev_count = pending
+        outs.append(np.asarray(prev_fut)[:prev_count])
     return np.concatenate(outs, axis=0)
 
 

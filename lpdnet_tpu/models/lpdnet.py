@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices
+from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather
 from lpdnet_tpu.models.pointnet import PointMLP
 
 
@@ -52,6 +53,10 @@ class EdgeConv(nn.Module):
     #   reference's literal conv-BN-relu-max placement (SURVEY C11), used
     #   by the parity oracle.
     bn_placement: str = "post"
+    # Use the Pallas aligned-slab max-gather kernel (~3.4x XLA's row gather
+    # on v5e) for the inference aggregation. Training always takes the XLA
+    # gather (differentiable); the kernel has no VJP.
+    pallas_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -81,7 +86,10 @@ class EdgeConv(nn.Module):
             dtype=jnp.float32 if train else self.dtype, name="bn",
         )
         if self.bn_placement == "post":
-            agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)
+            if self.pallas_gather and not train:
+                agg = edge_max_gather(proj_nbr, idx)
+            else:
+                agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)
             return nn.relu(bn(agg + proj_ctr))
         elif self.bn_placement == "edge":
             e = gather_neighbors(proj_nbr, idx) + proj_ctr[:, :, None, :]
@@ -110,6 +118,7 @@ class LPDNetFeat(nn.Module):
     knn_block: int = 1024
     dtype: jnp.dtype = jnp.float32
     edge_bn_placement: str = "post"
+    pallas_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -126,17 +135,26 @@ class LPDNetFeat(nn.Module):
         # Graph 1: neighbourhoods in Cartesian space (fixed geometry). The
         # on-device feature stage already ran this exact kNN search —
         # ``idx_xyz`` reuses it instead of paying for a second one.
+        dist_dtype = (
+            "bfloat16" if jnp.dtype(self.dtype) == jnp.bfloat16 else "float32"
+        )
         if idx_xyz is None:
-            idx_xyz = knn_indices(xyz, self.k, block=self.knn_block)
+            idx_xyz = knn_indices(
+                xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype
+            )
         h = EdgeConv(
             self.spatial_width, dtype=self.dtype,
-            bn_placement=self.edge_bn_placement, name="edge_spatial",
+            bn_placement=self.edge_bn_placement,
+            pallas_gather=self.pallas_gather, name="edge_spatial",
         )(h, idx_xyz, train=train)
         # Graph 2: neighbourhoods rebuilt in learned-feature space.
-        idx_feat = knn_indices(h, self.k, block=self.knn_block)
+        idx_feat = knn_indices(
+            h, self.k, block=self.knn_block, dist_dtype=dist_dtype
+        )
         h = EdgeConv(
             self.feature_width, dtype=self.dtype,
-            bn_placement=self.edge_bn_placement, name="edge_feature",
+            bn_placement=self.edge_bn_placement,
+            pallas_gather=self.pallas_gather, name="edge_feature",
         )(h, idx_feat, train=train)
         h = PointMLP(
             list(self.post_widths) + [self.feature_dim],

@@ -51,11 +51,16 @@ class DescriptorNet(nn.Module):
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
                     idx_xyz = idx
+            if cfg.pallas_gather == "auto":
+                use_pallas = jax.default_backend() not in ("cpu",)
+            else:
+                use_pallas = cfg.pallas_gather == "on"
             trunk_out = LPDNetFeat(
                 feature_dim=cfg.feature_dim,
                 k=cfg.graph_k,
                 knn_block=cfg.features.knn_block,
                 dtype=dtype,
+                pallas_gather=use_pallas,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":

@@ -32,7 +32,9 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "block", "exclude_self", "exact", "recall_target"),
+    static_argnames=(
+        "k", "block", "exclude_self", "exact", "recall_target", "dist_dtype",
+    ),
 )
 def knn_indices_and_dists(
     queries: jnp.ndarray,
@@ -43,6 +45,7 @@ def knn_indices_and_dists(
     exclude_self: bool = False,
     exact: bool = False,
     recall_target: float = 0.95,
+    dist_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest database points for every query point, blockwise.
 
@@ -93,10 +96,14 @@ def knn_indices_and_dists(
             neg_d, idx = jax.lax.top_k(-d, k)
             dist = -neg_d
         else:
+            # Optionally select over a bf16 distance tile: the scan is
+            # HBM-bound on the (B, block, Nd) buffer feeding the custom
+            # selection call; ~0.4% relative distance fuzz.
             dist, idx = jax.lax.approx_min_k(
-                d, k, recall_target=recall_target
+                d.astype(jnp.dtype(dist_dtype)), k,
+                recall_target=recall_target,
             )
-        return carry, (idx.astype(jnp.int32), dist)
+        return carry, (idx.astype(jnp.int32), dist.astype(jnp.float32))
 
     _, (idx, dist) = jax.lax.scan(scan_body, None, (q_tiles, row_ids))
     # (num_blocks, B, block, k) -> (B, Nq, k)
@@ -114,6 +121,7 @@ def knn_indices(
     exclude_self: bool = False,
     exact: bool = False,
     recall_target: float = 0.95,
+    dist_dtype: str = "float32",
 ) -> jnp.ndarray:
     """kNN graph over one point set (the common model-side call).
 
@@ -133,6 +141,6 @@ def knn_indices(
     space = features if features is not None else points
     idx, _ = knn_indices_and_dists(
         space, space, k, block=block, exclude_self=exclude_self,
-        exact=exact, recall_target=recall_target,
+        exact=exact, recall_target=recall_target, dist_dtype=dist_dtype,
     )
     return idx

@@ -4,5 +4,6 @@ equivalent in ``lpdnet_tpu.ops`` used as its correctness oracle and as the
 portable fallback."""
 
 from lpdnet_tpu.ops.pallas.gather_mxu import gather_neighbors_mxu
+from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather
 
-__all__ = ["gather_neighbors_mxu"]
+__all__ = ["gather_neighbors_mxu", "edge_max_gather"]

@@ -1,0 +1,128 @@
+"""Fused neighbour-gather + max-aggregation Pallas kernel.
+
+The post-aggregation EdgeConv (``lpdnet_tpu.models.lpdnet.EdgeConv``,
+``bn_placement='post'``) needs ``out[b, m] = max_j feat[b, idx[b, m, j]]``.
+XLA's row gather runs at ~8 ns/row (latency-bound fetch loop); this kernel
+keeps the whole per-cloud feature table in VMEM and turns each neighbour
+access into one *aligned-slab* vector load:
+
+  * Mosaic cannot load a vector at an arbitrary dynamic sublane offset
+    (must be 8/16-aligned), so for index r we load the aligned SLAB-row
+    window containing r;
+  * instead of reducing each slab to its selected row (a cross-sublane
+    reduce per edge), the masked slabs are **max-accumulated as slabs** —
+    2 VPU ops per edge — and a single cross-sublane max folds the
+    accumulator to the output row at the end;
+  * indices live in SMEM (scalar reads drive the dynamic slices).
+
+Oracle: ``jnp.max(gather_neighbors(feat, idx), axis=2)`` (pure XLA), tested
+in ``tests/test_pallas_gather.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SLAB = 16  # aligned sublane window (bf16 native tile height)
+
+
+def _edge_max_kernel(base_ref, off_ref, feat_ref, out_ref):
+    # base_ref: (1, TILE_M, K) int32 in SMEM — SLAB-aligned row bases
+    # off_ref:  (1, TILE_M, K) int32 in SMEM — row offset within the slab
+    # feat_ref: (1, N, C) in VMEM
+    # out_ref:  (1, TILE_M, C) in VMEM
+    # base/offset are precomputed host-side: the per-edge //SLAB and %SLAB
+    # would otherwise serialize on the scalar unit.
+    tile_m, k = base_ref.shape[1], base_ref.shape[2]
+    c = feat_ref.shape[2]
+    dtype = feat_ref.dtype
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+    # Stores must also hit aligned sublane offsets: build OUT_ROWS output
+    # rows per iteration and store them as one aligned block.
+    out_rows = 8
+
+    def blk_body(bi, _):
+        base_out = pl.multiple_of(bi * out_rows, out_rows)
+        rows = []
+        for rr in range(out_rows):
+            i = base_out + rr
+            acc = jnp.full((SLAB, c), neg_inf, dtype)
+            for j in range(k):
+                base = pl.multiple_of(base_ref[0, i, j], SLAB)
+                slab = feat_ref[0, pl.ds(base, SLAB), :]  # (SLAB, C)
+                sel = row_iota == off_ref[0, i, j]  # (SLAB, 1)
+                acc = jnp.maximum(acc, jnp.where(sel, slab, neg_inf))
+            rows.append(jnp.max(acc, axis=0, keepdims=True))
+        out_ref[0, pl.ds(base_out, out_rows), :] = jnp.concatenate(rows, 0)
+        return 0
+
+    jax.lax.fori_loop(0, tile_m // out_rows, blk_body, 0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def edge_max_gather(
+    features: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    tile_m: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[b, m] = max_j features[b, idx[b, m, j]].
+
+    Args:
+      features: (B, N, C) per-point features; N must be a multiple of SLAB.
+      idx: (B, M, K) int32 neighbour indices.
+      tile_m: output rows per kernel step.
+
+    Returns:
+      (B, M, C), features.dtype.
+    """
+    b, n, c = features.shape
+    _, m, k = idx.shape
+    if n % SLAB != 0:
+        raise ValueError(f"N={n} must be a multiple of {SLAB}")
+    if m % tile_m != 0:
+        pad = tile_m - m % tile_m
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        return edge_max_gather(
+            features, idx, tile_m=tile_m, interpret=interpret
+        )[:, :m]
+
+    grid = (b, m // tile_m)
+    idx = idx.astype(jnp.int32)
+    base = (idx // SLAB) * SLAB
+    off = idx - base
+    return pl.pallas_call(
+        _edge_max_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, k),
+                lambda bi, mi: (bi, mi, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_m, k),
+                lambda bi, mi: (bi, mi, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n, c),
+                lambda bi, mi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_m, c),
+            lambda bi, mi: (bi, mi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, c), features.dtype),
+        interpret=interpret,
+    )(base, off, features)

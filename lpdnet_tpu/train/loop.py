@@ -12,7 +12,9 @@ Checkpoints via Orbax per epoch; metrics as JSONL; optional per-epoch eval.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import numpy as np
@@ -24,8 +26,35 @@ from lpdnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from lpdnet_tpu.train.mining import DescriptorCache
 from lpdnet_tpu.train.state import create_train_state
 from lpdnet_tpu.train.step import make_embed_fn, make_train_step
-from lpdnet_tpu.utils.checkpoint import CheckpointManager
+from lpdnet_tpu.utils.checkpoint import CheckpointManager, save_config
 from lpdnet_tpu.utils.logging import MetricsLogger
+
+
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run the (host-side NumPy) batch-assembly iterator in a background
+    thread so tuple building/augmentation overlaps the device step — the
+    reference assembles tuples synchronously inside its hot loop (SURVEY
+    §3.1 "CPU HOT SPOT"). Exceptions propagate to the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - relay to consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 @dataclasses.dataclass
@@ -46,8 +75,8 @@ def train(
 ) -> Dict[str, object]:
     """Run training; returns final state + last eval results."""
     tc = cfg.train
-    rng_np = np.random.RandomState(tc.seed)
     logger = logger or MetricsLogger(tc.log_dir)
+    save_config(cfg, tc.log_dir)
 
     mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis) if use_mesh else None
 
@@ -79,6 +108,12 @@ def train(
         return {"params": s.params, "batch_stats": s.batch_stats}
 
     for epoch in range(start_epoch, tc.max_epoch):
+        # Deterministic data order keyed by (seed, epoch): resuming from a
+        # checkpoint replays the exact remaining schedule (SURVEY §5
+        # failure-recovery row).
+        rng_np = np.random.RandomState(
+            (tc.seed * 1_000_003 + epoch) % (2**31 - 1)
+        )
         use_hard = epoch >= mining.warmup_epochs
         if use_hard and not cache.ready:
             cache.refresh(embed_fn, model_vars(state))
@@ -97,16 +132,19 @@ def train(
         losses = []
         queries_done = 0
         next_refresh = mining.cache_refresh_queries
-        for ids, batch in res.sampler.epoch_batches(
-            tc.batch_num_queries,
-            rng_np,
-            hard_negs_fn=hard_fn if use_hard else None,
-            rotate=cfg.data.augment_rotate,
-            jitter=cfg.data.augment_jitter,
-            rotation_max_deg=cfg.data.rotation_max_deg,
-            jitter_sigma=cfg.data.jitter_sigma,
-            jitter_clip=cfg.data.jitter_clip,
-        ):
+        batches = _prefetch(
+            res.sampler.epoch_batches(
+                tc.batch_num_queries,
+                rng_np,
+                hard_negs_fn=hard_fn if use_hard else None,
+                rotate=cfg.data.augment_rotate,
+                jitter=cfg.data.augment_jitter,
+                rotation_max_deg=cfg.data.rotation_max_deg,
+                jitter_sigma=cfg.data.jitter_sigma,
+                jitter_clip=cfg.data.jitter_clip,
+            )
+        )
+        for ids, batch in batches:
             if mesh is not None:
                 batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
             state, loss = train_step(state, batch)

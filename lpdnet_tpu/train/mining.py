@@ -41,14 +41,21 @@ class DescriptorCache:
         indices = self.sampler.all_indices
         bs = self.batch_size
         outs: List[np.ndarray] = []
+        pending = None  # depth-1 dispatch pipeline (see eval sweep)
         for start in range(0, len(indices), bs):
             ids = indices[start : start + bs]
             pts = np.stack([self.sampler.load(i) for i in ids])
             pad = bs - len(ids)
             if pad:
                 pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
-            vecs = np.asarray(embed_fn(variables, pts))
-            outs.append(vecs[: len(ids)])
+            fut = embed_fn(variables, pts)
+            if pending is not None:
+                prev, cnt = pending
+                outs.append(np.asarray(prev)[:cnt])
+            pending = (fut, len(ids))
+        if pending is not None:
+            prev, cnt = pending
+            outs.append(np.asarray(prev)[:cnt])
         self.vectors = np.concatenate(outs, axis=0)
         return self.vectors
 

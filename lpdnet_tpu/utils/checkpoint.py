@@ -9,6 +9,8 @@ stats, step) plus the epoch counter checkpoint atomically; restore is exact
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any, Optional, Tuple
 
@@ -16,6 +18,43 @@ import jax
 import orbax.checkpoint as ocp
 
 from lpdnet_tpu.train.state import TrainState
+
+
+def save_config(cfg, log_dir: str) -> str:
+    """Persist the full Config tree as JSON next to the checkpoints so
+    evaluation/resume can reconstruct the exact model without re-passing
+    flags (the reference relies on the user re-supplying matching CLI
+    args)."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, "config.json")
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    return path
+
+
+def load_config(log_dir: str):
+    """Rebuild a Config from ``config.json`` if present, else None."""
+    from lpdnet_tpu import configs as C
+
+    path = os.path.join(log_dir, "config.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    return C.Config(
+        model=C.ModelConfig(
+            **{**raw["model"],
+               "features": C.FeatureConfig(**raw["model"]["features"])}
+        ),
+        data=C.DataConfig(**raw["data"]),
+        train=C.TrainConfig(
+            **{**raw["train"],
+               "loss": C.LossConfig(**raw["train"]["loss"]),
+               "mining": C.MiningConfig(**raw["train"]["mining"])}
+        ),
+        eval=C.EvalConfig(**raw["eval"]),
+        mesh=C.MeshConfig(**raw["mesh"]),
+    )
 
 
 class CheckpointManager:

@@ -47,6 +47,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                    help="activation/matmul compute dtype")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (traps the first NaN)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic clustered dataset (smoke)")
     p.add_argument("--eval_database_file", default=None)
@@ -59,6 +61,10 @@ def main():
 
     enable_compilation_cache()
     args = parse_args()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = PRESETS[args.preset]()
 
     over = {}
