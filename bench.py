@@ -81,6 +81,47 @@ def bench_throughput(
     return best, best_bs
 
 
+def bench_train_step(batch_queries=2, iters=8):
+    """Lazy-quadruplet training-step throughput (BASELINE config 4):
+    forward + loss + backward + Adam update on reference-sized tuples
+    (1 query + 2 positives + 18 negatives + other_neg, 4096 points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpdnet_tpu.configs import ModelConfig, TrainConfig
+    from lpdnet_tpu.train.state import create_train_state
+    from lpdnet_tpu.train.step import make_train_step
+
+    cfg_m = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    cfg_t = TrainConfig(batch_num_queries=batch_queries)
+    model, state = create_train_state(cfg_m, cfg_t, jax.random.key(0))
+    step = make_train_step(model, cfg_t.loss, donate=False)
+
+    rs = np.random.RandomState(0)
+    n = cfg_m.num_points
+    batch = {
+        "query": jnp.asarray(rs.randn(batch_queries, n, 3).astype(np.float32) * 0.3),
+        "positives": jnp.asarray(rs.randn(batch_queries, 2, n, 3).astype(np.float32) * 0.3),
+        "negatives": jnp.asarray(rs.randn(batch_queries, 18, n, 3).astype(np.float32) * 0.3),
+        "other_neg": jnp.asarray(rs.randn(batch_queries, n, 3).astype(np.float32) * 0.3),
+    }
+    state, loss = step(state, batch)
+    np.asarray(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    np.asarray(loss)
+    dt = time.perf_counter() - t0
+    queries_per_sec = batch_queries * iters / dt
+    submaps_per_sec = queries_per_sec * 22
+    print(
+        f"train step: {dt / iters * 1e3:.1f} ms "
+        f"({queries_per_sec:.2f} queries/s, {submaps_per_sec:.1f} submaps/s)",
+        file=sys.stderr,
+    )
+    return queries_per_sec, submaps_per_sec
+
+
 def main():
     import argparse
 
@@ -89,9 +130,25 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--mode", default="inference",
+                    choices=["inference", "train"])
     args = ap.parse_args()
 
     enable_compilation_cache()
+    if args.mode == "train":
+        qps, sps = bench_train_step()
+        print(json.dumps({
+            "metric": "train_queries_per_sec_per_chip",
+            "value": round(qps, 3),
+            "unit": "queries/s",
+            "vs_baseline": round(sps / 1000.0, 4),
+            "detail": {
+                "model": "lpdnet bf16, lazy quadruplet, B=2 ref config",
+                "tuples": "1q + 2pos + 18neg + other",
+                "submaps_per_sec": round(sps, 1),
+            },
+        }))
+        return
     if args.trace:
         import jax.profiler
 

@@ -41,6 +41,8 @@ class FeatureConfig:
     eps: float = 1e-8  # degenerate-neighborhood guard
     # Blockwise kNN tile size (query points per tile) for the feature stage.
     knn_block: int = 1024
+    # Per-neighbour recall of the approximate TPU selection (approx_min_k).
+    recall_target: float = 0.95
 
 
 @dataclass(frozen=True)

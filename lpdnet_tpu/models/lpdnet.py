@@ -119,6 +119,7 @@ class LPDNetFeat(nn.Module):
     dtype: jnp.dtype = jnp.float32
     edge_bn_placement: str = "post"
     pallas_gather: bool = False
+    recall_target: float = 0.95
 
     @nn.compact
     def __call__(
@@ -140,7 +141,8 @@ class LPDNetFeat(nn.Module):
         )
         if idx_xyz is None:
             idx_xyz = knn_indices(
-                xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype
+                xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,
+                recall_target=self.recall_target,
             )
         h = EdgeConv(
             self.spatial_width, dtype=self.dtype,
@@ -149,7 +151,8 @@ class LPDNetFeat(nn.Module):
         )(h, idx_xyz, train=train)
         # Graph 2: neighbourhoods rebuilt in learned-feature space.
         idx_feat = knn_indices(
-            h, self.k, block=self.knn_block, dist_dtype=dist_dtype
+            h, self.k, block=self.knn_block, dist_dtype=dist_dtype,
+            recall_target=self.recall_target,
         )
         h = EdgeConv(
             self.feature_width, dtype=self.dtype,

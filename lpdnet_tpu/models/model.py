@@ -47,6 +47,7 @@ class DescriptorNet(nn.Module):
                     cfg.features.k,
                     eps=cfg.features.eps,
                     block=cfg.features.knn_block,
+                    recall_target=cfg.features.recall_target,
                 )
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
@@ -61,6 +62,7 @@ class DescriptorNet(nn.Module):
                 knn_block=cfg.features.knn_block,
                 dtype=dtype,
                 pallas_gather=use_pallas,
+                recall_target=cfg.features.recall_target,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":

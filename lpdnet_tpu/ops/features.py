@@ -153,8 +153,12 @@ def eigen_features_and_knn(
             d = d.astype(jnp.bfloat16)
             kd, idx = jax.lax.approx_min_k(d, k, recall_target=recall_target)
         kth = kd[..., -1:]  # (B, blk, 1)
-        mask = (d <= kth).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)  # (B, blk)
+        # bf16 mask: values are exactly 0/1 (no rounding), halves the HBM
+        # bytes of the (B, blk, N) buffer feeding the moment matmuls.
+        mask = (d <= kth).astype(jnp.bfloat16)
+        cnt = jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32), axis=-1), 1.0
+        )  # (B, blk)
         sums = jnp.einsum(
             "bqn,bnm->bqm", mask, moments, preferred_element_type=jnp.float32
         )  # (B, blk, 9)
