@@ -26,6 +26,7 @@ import numpy as np
 def bench_throughput(
     batch_sizes=(16, 32, 64),
     iters: int = 10,
+    trunk: str = "lpdnet",
 ):
     """Time ``iters`` forwards chained inside ONE jitted lax.scan.
 
@@ -41,7 +42,7 @@ def bench_throughput(
     from lpdnet_tpu.configs import ModelConfig
     from lpdnet_tpu.models.model import init_model
 
-    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    cfg = ModelConfig(trunk=trunk, compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
 
     @jax.jit
@@ -131,10 +132,21 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--mode", default="inference",
-                    choices=["inference", "train"])
+                    choices=["inference", "train", "pointnetvlad"])
     args = ap.parse_args()
 
     enable_compilation_cache()
+    if args.mode == "pointnetvlad":
+        best, best_bs = bench_throughput(trunk="pointnetvlad")
+        print(json.dumps({
+            "metric": "pointnetvlad_submaps_per_sec_per_chip",
+            "value": round(best, 2),
+            "unit": "submaps/s",
+            "vs_baseline": round(best / 1000.0, 4),
+            "detail": {"model": "pointnetvlad bf16 (STN + shared MLP + NetVLAD)",
+                       "num_points": 4096, "best_batch": best_bs},
+        }))
+        return
     if args.mode == "train":
         qps, sps = bench_train_step()
         print(json.dumps({

@@ -43,6 +43,11 @@ class FeatureConfig:
     knn_block: int = 1024
     # Per-neighbour recall of the approximate TPU selection (approx_min_k).
     recall_target: float = 0.95
+    # Pallas fused neighbourhood-stats kernel (phase-split selection +
+    # VMEM-resident distance recompute). Measured SLOWER than the XLA
+    # masked-moment scan on v5e (the split costs more fusion than the
+    # kernel saves) — kept as an option for other shapes/hardware.
+    fused_stats: bool = False
 
 
 @dataclass(frozen=True)

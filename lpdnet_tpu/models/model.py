@@ -37,6 +37,10 @@ class DescriptorNet(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
 
         if cfg.trunk == "lpdnet":
+            if cfg.pallas_gather == "auto":
+                use_pallas = jax.default_backend() not in ("cpu",)
+            else:
+                use_pallas = cfg.pallas_gather == "on"
             idx_xyz = None
             if cfg.compute_features_on_device and x.shape[-1] == 3:
                 # Fused feature stage: masked-moment features + the xyz kNN
@@ -48,14 +52,11 @@ class DescriptorNet(nn.Module):
                     eps=cfg.features.eps,
                     block=cfg.features.knn_block,
                     recall_target=cfg.features.recall_target,
+                    fused_stats=cfg.features.fused_stats,
                 )
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
                     idx_xyz = idx
-            if cfg.pallas_gather == "auto":
-                use_pallas = jax.default_backend() not in ("cpu",)
-            else:
-                use_pallas = cfg.pallas_gather == "on"
             trunk_out = LPDNetFeat(
                 feature_dim=cfg.feature_dim,
                 k=cfg.graph_k,

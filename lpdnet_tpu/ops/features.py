@@ -93,7 +93,33 @@ def _features_from_stats(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "block", "exact", "recall_target"))
+def _cov_from_moment_sums(sums: jnp.ndarray, cnt: jnp.ndarray):
+    """Moment sums [Sx,Sy,Sz,Sxx,Syy,Szz,Sxy,Sxz,Syz,...] + count ->
+    (covariance (..., 3, 3), czz)."""
+    mean = sums[..., :3] / cnt[..., None]
+    raw2 = sums[..., 3:9] / cnt[..., None]  # E[x2,y2,z2,xy,xz,yz]
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    cxx = raw2[..., 0] - mx * mx
+    cyy = raw2[..., 1] - my * my
+    czz = raw2[..., 2] - mz * mz
+    cxy = raw2[..., 3] - mx * my
+    cxz = raw2[..., 4] - mx * mz
+    cyz = raw2[..., 5] - my * mz
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], -1),
+            jnp.stack([cxy, cyy, cyz], -1),
+            jnp.stack([cxz, cyz, czz], -1),
+        ],
+        axis=-2,
+    )
+    return cov, czz
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "block", "exact", "recall_target", "fused_stats"),
+)
 def eigen_features_and_knn(
     points: jnp.ndarray,
     k: int = 20,
@@ -102,6 +128,7 @@ def eigen_features_and_knn(
     block: int = 512,
     exact: bool = False,
     recall_target: float = 0.95,
+    fused_stats: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free feature stage + the xyz kNN graph in ONE pass.
 
@@ -134,6 +161,34 @@ def eigen_features_and_knn(
     num_blocks = n_pad // block
     q_pad = jnp.pad(pts, ((0, 0), (0, n_pad - n), (0, 0)))
     q_tiles = q_pad.reshape(b, num_blocks, block, 3).transpose(1, 0, 2, 3)
+
+    if fused_stats and not exact:
+        # TPU phase split: a minimal scan produces idx + kth (the selection
+        # custom-call can't fuse), then the Pallas kernel recomputes each
+        # distance tile in VMEM and emits moment sums / count / z extrema
+        # without the tile ever reaching HBM.
+        from lpdnet_tpu.ops.pallas.feature_stats import neighborhood_stats
+
+        def sel_body(carry, q_tile):
+            d = pairwise_sqdist(q_tile, pts).astype(jnp.bfloat16)
+            kd, idx = jax.lax.approx_min_k(
+                d, k, recall_target=recall_target
+            )
+            return carry, (idx.astype(jnp.int32), kd[..., -1])
+
+        _, (idx, kth) = jax.lax.scan(sel_body, None, q_tiles)
+        idx = idx.transpose(1, 0, 2, 3).reshape(b, n_pad, k)[:, :n]
+        kth = kth.transpose(1, 0, 2).reshape(b, n_pad)[:, :n]
+        # kth came from bf16-rounded distances; inflate by one bf16 ulp so
+        # the f32 recomputed distance of the k-th neighbour stays inside
+        # the mask (count normalization absorbs the odd extra).
+        kth32 = kth.astype(jnp.float32) * (1.0 + 2.0**-7)
+        sums, z_max, z_min = neighborhood_stats(pts, kth32)
+        cnt = jnp.maximum(sums[..., 9], 1.0)
+        cov, czz = _cov_from_moment_sums(sums, cnt)
+        r_k = jnp.sqrt(jnp.maximum(kth.astype(jnp.float32), 0.0))
+        feats = _features_from_stats(cov, z_max, z_min, czz, r_k, k, eps)
+        return feats, idx
 
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     moments = jnp.stack(
