@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--all_sets", action="store_true",
+        help="evaluate all four benchmark sets (oxford + university + "
+             "residential + business) from <set>_evaluation_*.pickle in "
+             "the dataset folder (the reference's refined-stage eval)",
+    )
     return p.parse_args()
 
 
@@ -85,8 +91,10 @@ def main():
             ds.database_sets, ds.query_sets, ds.loader
         )
     else:
-        database_sets = get_sets_dict(cfg.data.eval_database_file)
-        query_sets = get_sets_dict(cfg.data.eval_query_file)
+        database_sets = query_sets = None
+        if not args.all_sets:
+            database_sets = get_sets_dict(cfg.data.eval_database_file)
+            query_sets = get_sets_dict(cfg.data.eval_query_file)
 
         def loader(fname: str) -> np.ndarray:
             return load_pc_file(
@@ -117,6 +125,30 @@ def main():
     mesh = None if args.no_mesh else make_mesh(cfg.mesh.num_devices)
     embed = make_embed_fn(model, mesh=mesh)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.all_sets and not args.synthetic:
+        for ds_name in ["oxford", "university", "residential", "business"]:
+            db_path = os.path.join(
+                cfg.data.dataset_folder, f"{ds_name}_evaluation_database.pickle"
+            )
+            q_path = os.path.join(
+                cfg.data.dataset_folder, f"{ds_name}_evaluation_query.pickle"
+            )
+            if not (os.path.isfile(db_path) and os.path.isfile(q_path)):
+                print(f"skipping {ds_name}: eval pickles not found")
+                continue
+            results = evaluate_model(
+                embed, variables,
+                get_sets_dict(db_path), get_sets_dict(q_path), loader,
+                batch_size=cfg.eval.batch_size, num_neighbors=cfg.eval.top_k,
+                batch_loader=batch_loader,
+            )
+            print(f"=== {ds_name} ===")
+            print(format_results(results))
+            write_results(
+                results, f"{cfg.train.log_dir}/{ds_name}_{cfg.eval.output_file}"
+            )
+        return
 
     results = evaluate_model(
         embed, variables, database_sets, query_sets, loader,

@@ -42,7 +42,12 @@ class FeatureConfig:
     # Blockwise kNN tile size (query points per tile) for the feature stage.
     knn_block: int = 1024
     # Per-neighbour recall of the approximate TPU selection (approx_min_k).
-    recall_target: float = 0.95
+    # Descriptor fidelity is insensitive to this knob (cosine vs the 0.95
+    # setting: 1.00000 at 0.9, 0.99999 at 0.8 — max-aggregation and
+    # count-normalized statistics absorb swapped near-tie neighbours), and
+    # selection cost falls steeply: 748 -> ~1000 -> ~1100 submaps/s at
+    # 0.95 / 0.9 / 0.8 on v5e. Default 0.85.
+    recall_target: float = 0.85
     # Pallas fused neighbourhood-stats kernel (phase-split selection +
     # VMEM-resident distance recompute). Measured SLOWER than the XLA
     # masked-moment scan on v5e (the split costs more fusion than the

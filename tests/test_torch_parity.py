@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+import jax.numpy as jnp  # noqa: E402 (after importorskip)
+
 from lpdnet_tpu.configs import FeatureConfig, ModelConfig
 from lpdnet_tpu.models.model import init_model
 
@@ -133,6 +135,72 @@ def test_pointnetvlad_descriptor_parity(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
     cos = (ours * theirs).sum(-1)
     np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+
+
+def torch_edge_conv(x, idx, params, stats):
+    """Decomposed EdgeConv with post-aggregation BN (our 'post' design):
+    relu(bn(max_j(W1 x_j) + (W2 - W1) x_i))."""
+    kernel = t(params["kernel"])
+    c = x.shape[-1]
+    w_nbr, w_ctr = kernel[:c], kernel[c:]
+    proj_nbr = x @ w_nbr
+    proj_ctr = x @ (w_ctr - w_nbr)
+    b, n, k = idx.shape[0], idx.shape[1], idx.shape[2]
+    gathered = torch.stack(
+        [proj_nbr[bb][idx[bb].reshape(-1)].reshape(n, k, -1)
+         for bb in range(b)]
+    )
+    agg = gathered.max(dim=2).values
+    return torch.relu(torch_bn(agg + proj_ctr, stats["bn"], params["bn"]))
+
+
+def torch_knn(x, k):
+    d = torch.cdist(x, x) ** 2
+    return d.topk(k, largest=False).indices
+
+
+def torch_lpd_trunk(x13, params, stats, k):
+    xyz = x13[..., :3]
+    h = torch_point_mlp(x13, params["pre"], stats["pre"])
+    idx = torch_knn(xyz, k)
+    h = torch_edge_conv(h, idx, params["edge_spatial"], stats["edge_spatial"])
+    idx2 = torch_knn(h, k)
+    h = torch_edge_conv(h, idx2, params["edge_feature"], stats["edge_feature"])
+    return torch_point_mlp(h, params["post"], stats["post"], relu_last=False)
+
+
+def test_lpd_trunk_descriptor_parity(rng):
+    cfg = ModelConfig(
+        trunk="lpdnet", num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6, compute_features_on_device=False,
+        input_dim=13, features=FeatureConfig(k=6, knn_block=64),
+    )
+    model, variables = init_model(cfg, jax.random.key(3), batch_size=2)
+    x_warm = jnp.asarray(rng.randn(4, N, 13).astype(np.float32))
+    _, mutated = model.apply(
+        variables, x_warm, train=True, mutable=["batch_stats"]
+    )
+    variables = {**variables, "batch_stats": mutated["batch_stats"]}
+
+    # Spread points to avoid kNN ties between frameworks.
+    x = (rng.rand(2, N, 13).astype(np.float32) - 0.5) * 2.0
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    tree = to_pytree(variables)
+    trunk = torch_lpd_trunk(
+        t(x), tree["params"]["trunk"], tree["batch_stats"]["trunk"], 6
+    )
+    theirs = torch_netvlad(
+        trunk, tree["params"]["netvlad"],
+        tree["batch_stats"].get("netvlad", {}),
+        cfg.add_batch_norm, cfg.gating,
+    )
+    theirs = theirs / torch.sqrt((theirs**2).sum(-1, keepdim=True) + 1e-12)
+    theirs = theirs.numpy()
+    cos = (ours * theirs).sum(-1)
+    # kNN tie permutations can swap a few neighbours; descriptors must
+    # still agree to high cosine.
+    np.testing.assert_allclose(cos, 1.0, atol=1e-3)
 
 
 def test_netvlad_head_parity_no_gating(rng):
