@@ -91,10 +91,16 @@ def main():
             ds.database_sets, ds.query_sets, ds.loader
         )
     else:
+        def resolve(path: str) -> str:
+            """Eval pickles may sit in the CWD or the dataset folder."""
+            if os.path.isfile(path):
+                return path
+            return os.path.join(cfg.data.dataset_folder, path)
+
         database_sets = query_sets = None
         if not args.all_sets:
-            database_sets = get_sets_dict(cfg.data.eval_database_file)
-            query_sets = get_sets_dict(cfg.data.eval_query_file)
+            database_sets = get_sets_dict(resolve(cfg.data.eval_database_file))
+            query_sets = get_sets_dict(resolve(cfg.data.eval_query_file))
 
         def loader(fname: str) -> np.ndarray:
             return load_pc_file(
@@ -103,7 +109,11 @@ def main():
 
         from lpdnet_tpu.data.native_loader import NativeBatchLoader
 
-        nbl = NativeBatchLoader(num_points=cfg.data.num_points, dims=3)
+        # 3 columns for raw xyz corpora, 13 for precomputed-feature ones.
+        dims = 3 if (
+            cfg.model.compute_features_on_device or cfg.model.input_dim == 3
+        ) else cfg.model.input_dim
+        nbl = NativeBatchLoader(num_points=cfg.data.num_points, dims=dims)
         batch_loader = (
             (lambda names: nbl.load(names, cfg.data.dataset_folder))
             if nbl.is_native else None

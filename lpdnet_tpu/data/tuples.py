@@ -88,13 +88,17 @@ class TupleSampler:
 
         negs: List[int] = [h for h in hard_negs[: self.num_neg]]
         neg_pool = entry["negatives"]
+        if not neg_pool and not negs:
+            raise ValueError(f"query {idx} has no negatives")
         if len(negs) < self.num_neg:
-            # Random fill, avoiding duplicates with the hard picks.
+            # Random fill, avoiding duplicates with the hard picks. Dense
+            # regions can have fewer than num_neg negatives: fall back to
+            # sampling with replacement (the fixed tuple shape requires
+            # num_neg entries; duplicates only weaken that tuple slightly).
             taken = set(negs)
-            fill = [n for n in neg_pool if n not in taken]
-            extra = rng.choice(
-                fill, self.num_neg - len(negs), replace=False
-            )
+            fill = [n for n in neg_pool if n not in taken] or list(neg_pool)
+            needed = self.num_neg - len(negs)
+            extra = rng.choice(fill, needed, replace=needed > len(fill))
             negs.extend(int(e) for e in extra)
 
         # other_neg: negative to the query tuple AND to every selected

@@ -58,6 +58,14 @@ def _hinge_mean(
     return jnp.mean(per_tuple)
 
 
+def _triplet_from_pos_d(
+    query, neg_vecs, pos_d, margin, lazy, ignore_zero_loss
+) -> jnp.ndarray:
+    neg_d = _sqdist(query[:, None, :], neg_vecs)  # (B, M)
+    hinge = jnp.maximum(margin + pos_d[:, None] - neg_d, 0.0)
+    return _hinge_mean(hinge, lazy, ignore_zero_loss)
+
+
 def triplet_loss(
     query: jnp.ndarray,
     pos_vecs: jnp.ndarray,
@@ -74,9 +82,9 @@ def triplet_loss(
     """
     min_pos, max_pos = best_pos_distance(query, pos_vecs)
     pos_d = min_pos if use_min else max_pos
-    neg_d = _sqdist(query[:, None, :], neg_vecs)  # (B, M)
-    hinge = jnp.maximum(margin + pos_d[:, None] - neg_d, 0.0)
-    return _hinge_mean(hinge, lazy, ignore_zero_loss)
+    return _triplet_from_pos_d(
+        query, neg_vecs, pos_d, margin, lazy, ignore_zero_loss
+    )
 
 
 def quadruplet_loss(
@@ -96,12 +104,11 @@ def quadruplet_loss(
       query: (B, D); pos_vecs: (B, P, D); neg_vecs: (B, M, D);
       other_neg: (B, D) — a sample negative to every tuple member.
     """
-    trip = triplet_loss(
-        query, pos_vecs, neg_vecs, margin_1,
-        use_min=use_min, lazy=lazy, ignore_zero_loss=ignore_zero_loss,
-    )
     min_pos, max_pos = best_pos_distance(query, pos_vecs)
     pos_d = min_pos if use_min else max_pos
+    trip = _triplet_from_pos_d(
+        query, neg_vecs, pos_d, margin_1, lazy, ignore_zero_loss
+    )
     other_d = _sqdist(other_neg[:, None, :], neg_vecs)  # (B, M)
     hinge2 = jnp.maximum(margin_2 + pos_d[:, None] - other_d, 0.0)
     return trip + _hinge_mean(hinge2, lazy, ignore_zero_loss)

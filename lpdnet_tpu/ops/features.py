@@ -183,7 +183,24 @@ def eigen_features_and_knn(
         # the f32 recomputed distance of the k-th neighbour stays inside
         # the mask (count normalization absorbs the odd extra).
         kth32 = kth.astype(jnp.float32) * (1.0 + 2.0**-7)
-        sums, z_max, z_min = neighborhood_stats(pts, kth32)
+        # Pad N to the kernel tile; padding points sit 1e3 away so they
+        # never enter any real point's mask, and padded rows are sliced off.
+        stats_tile = 128
+        n_kpad = _round_up(n, stats_tile)
+        if n_kpad != n:
+            pts_k = jnp.pad(
+                pts, ((0, 0), (0, n_kpad - n), (0, 0)),
+                constant_values=1e3,
+            )
+            kth_k = jnp.pad(kth32, ((0, 0), (0, n_kpad - n)))
+        else:
+            pts_k, kth_k = pts, kth32
+        sums, z_max, z_min = neighborhood_stats(
+            pts_k, kth_k, tile=stats_tile
+        )
+        sums = sums[:, :n]
+        z_max = z_max[:, :n]
+        z_min = z_min[:, :n]
         cnt = jnp.maximum(sums[..., 9], 1.0)
         cov, czz = _cov_from_moment_sums(sums, cnt)
         r_k = jnp.sqrt(jnp.maximum(kth.astype(jnp.float32), 0.0))
@@ -217,23 +234,7 @@ def eigen_features_and_knn(
         sums = jnp.einsum(
             "bqn,bnm->bqm", mask, moments, preferred_element_type=jnp.float32
         )  # (B, blk, 9)
-        mean = sums[..., :3] / cnt[..., None]
-        raw2 = sums[..., 3:] / cnt[..., None]  # E[x2,y2,z2,xy,xz,yz]
-        mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
-        cxx = raw2[..., 0] - mx * mx
-        cyy = raw2[..., 1] - my * my
-        czz = raw2[..., 2] - mz * mz
-        cxy = raw2[..., 3] - mx * my
-        cxz = raw2[..., 4] - mx * mz
-        cyz = raw2[..., 5] - my * mz
-        cov = jnp.stack(
-            [
-                jnp.stack([cxx, cxy, cxz], -1),
-                jnp.stack([cxy, cyy, cyz], -1),
-                jnp.stack([cxz, cyz, czz], -1),
-            ],
-            axis=-2,
-        )  # (B, blk, 3, 3)
+        cov, czz = _cov_from_moment_sums(sums, cnt)  # (B, blk, 3, 3)
         z_nb = jnp.where(mask > 0, z[:, None, :], -jnp.inf)
         z_max = jnp.max(z_nb, axis=-1)
         z_min = jnp.min(

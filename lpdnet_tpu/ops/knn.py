@@ -10,9 +10,10 @@ N^2 buffer.
 Used three times per LPD forward (SURVEY §7 "Hard parts"): the feature-stage
 neighborhood, the Cartesian-space graph, and the learned-feature-space graph.
 
-A Pallas fused distance+top-k kernel (``lpdnet_tpu.ops.pallas.knn_pallas``)
-covers the TPU hot path; this XLA implementation is the portable fallback and
-the correctness oracle for it.
+Selection runs through ``lax.approx_min_k`` (the TPU PartialReduce path;
+exact full-sort fallback on CPU) with a tunable ``recall_target``; the
+``exact=True`` mode switches to ``lax.top_k`` and is what oracles and
+offline data prep use.
 """
 
 from __future__ import annotations

@@ -87,6 +87,10 @@ def edge_max_gather(
     _, m, k = idx.shape
     if n % SLAB != 0:
         raise ValueError(f"N={n} must be a multiple of {SLAB}")
+    if tile_m % 8 != 0:
+        # The kernel stores 8 output rows per aligned block; a non-multiple
+        # tile would leave trailing rows of each tile unwritten.
+        raise ValueError(f"tile_m={tile_m} must be a multiple of 8")
     if m % tile_m != 0:
         pad = tile_m - m % tile_m
         idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))

@@ -78,7 +78,24 @@ def train(
     logger = logger or MetricsLogger(tc.log_dir)
     save_config(cfg, tc.log_dir)
 
-    mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis) if use_mesh else None
+    mesh = None
+    if use_mesh:
+        # The batch axis shards over the mesh, so the mesh size must divide
+        # batch_num_queries; with more devices than that, use the largest
+        # divisor (the reference's DataParallel silently idles extra GPUs
+        # the same way).
+        avail = cfg.mesh.num_devices or len(jax.devices())
+        ndev = min(avail, tc.batch_num_queries)
+        # The same mesh serves the eval/mining embed sweeps, so it must
+        # divide that batch size too.
+        while tc.batch_num_queries % ndev or cfg.eval.batch_size % ndev:
+            ndev -= 1
+        if cfg.mesh.num_devices is not None and ndev != cfg.mesh.num_devices:
+            logger.log(
+                "mesh_shrunk", requested=cfg.mesh.num_devices, used=ndev,
+                batch_num_queries=tc.batch_num_queries,
+            )
+        mesh = make_mesh(ndev, cfg.mesh.data_axis)
 
     model, state = create_train_state(
         cfg.model, tc, jax.random.key(tc.seed)

@@ -74,13 +74,18 @@ class DescriptorCache:
         space (reference ``get_random_hard_negatives``: sample a random
         candidate pool from the query's negative set, then take the
         descriptor-space nearest)."""
-        assert self.vectors is not None
+        # Snapshot the cache reference once: refresh() may swap
+        # self.vectors from the training thread while the prefetch worker
+        # is in here; a single reference read keeps query and candidates
+        # from the same model generation.
+        vectors = self.vectors
+        assert vectors is not None
         negs = self.sampler.queries[query_idx]["negatives"]
         if sampled_pool is not None and len(negs) > sampled_pool:
             negs = list(rng.choice(negs, sampled_pool, replace=False))
         rows = np.asarray([self.row_of[int(n)] for n in negs])
-        qv = self.vectors[self.row_of[query_idx]]
-        d = ((self.vectors[rows] - qv[None, :]) ** 2).sum(-1)
+        qv = vectors[self.row_of[query_idx]]
+        d = ((vectors[rows] - qv[None, :]) ** 2).sum(-1)
         take = min(num, len(rows))
         nearest = np.argpartition(d, take - 1)[:take]
         nearest = nearest[np.argsort(d[nearest])]

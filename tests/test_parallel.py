@@ -132,3 +132,36 @@ def test_sharded_embed_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(sharded), rtol=1e-4, atol=1e-5
     )
+
+
+def test_train_loop_shrinks_mesh_to_divide_batch(tmp_path):
+    """batch_num_queries=2 on an 8-device mesh must not crash: the loop
+    shrinks the mesh to the largest divisor of the batch (regression:
+    shard_batch used to raise 'axis 0 not divisible by 8')."""
+    from lpdnet_tpu.configs import (
+        Config, DataConfig, EvalConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+    from lpdnet_tpu.data.tuples import TupleSampler
+    from lpdnet_tpu.train.loop import TrainResources, train
+
+    ds = make_synthetic_dataset(num_places=5, submaps_per_place=4, num_points=N)
+    cfg = Config(
+        model=ModelConfig(
+            trunk="pointnetvlad", num_points=N, feature_dim=64,
+            num_clusters=8, output_dim=32, use_input_transform=False,
+        ),
+        data=DataConfig(num_points=N),
+        train=TrainConfig(
+            batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+            max_epoch=1, log_dir=str(tmp_path / "log"),
+        ),
+        eval=EvalConfig(batch_size=8),
+        mesh=MeshConfig(num_devices=None),  # all 8 virtual devices
+    )
+    res = TrainResources(
+        sampler=TupleSampler(ds.queries, ds.loader, num_pos=2, num_neg=4),
+        loader=ds.loader,
+    )
+    out = train(cfg, res, use_mesh=True)
+    assert int(out["state"].step) > 0

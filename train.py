@@ -129,11 +129,17 @@ def main():
                 fname, cfg.data.dataset_folder, cfg.data.num_points
             )
 
+        def resolve(path: str) -> str:
+            """Eval pickles may sit in the CWD or the dataset folder."""
+            if os.path.isfile(path):
+                return path
+            return os.path.join(cfg.data.dataset_folder, path)
+
         db_sets = q_sets = None
-        db_path = cfg.data.eval_database_file
+        db_path = resolve(cfg.data.eval_database_file)
         if os.path.exists(db_path):
             db_sets = get_sets_dict(db_path)
-            q_sets = get_sets_dict(cfg.data.eval_query_file)
+            q_sets = get_sets_dict(resolve(cfg.data.eval_query_file))
         res = TrainResources(
             sampler=TupleSampler(
                 queries, loader,
