@@ -22,3 +22,30 @@ Design stance (SURVEY.md §7):
 __version__ = "0.1.0"
 
 from lpdnet_tpu import configs  # noqa: F401
+from lpdnet_tpu.configs import Config, PRESETS, apply_overrides  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep `import lpdnet_tpu` light — the model
+    stack pulls in flax/optax)."""
+    if name in ("DescriptorNet", "build_model", "init_model"):
+        from lpdnet_tpu.models import model as _m
+
+        return getattr(_m, name)
+    if name == "DescriptorIndex":
+        from lpdnet_tpu.serve import DescriptorIndex
+
+        return DescriptorIndex
+    if name in ("make_train_step", "make_embed_fn"):
+        from lpdnet_tpu.train import step as _s
+
+        return getattr(_s, name)
+    if name == "train":
+        from lpdnet_tpu.train.loop import train
+
+        return train
+    if name == "evaluate_model":
+        from lpdnet_tpu.eval.evaluate import evaluate_model
+
+        return evaluate_model
+    raise AttributeError(f"module 'lpdnet_tpu' has no attribute {name!r}")

@@ -51,6 +51,10 @@ def parse_args():
                    help="enable jax_debug_nans (traps the first NaN)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic clustered dataset (smoke)")
+    p.add_argument("--synthetic_scale", default="small",
+                   choices=["small", "full"],
+                   help="small: 256-pt tiny model smoke; full: 4096-pt "
+                        "full-size model dress rehearsal")
     p.add_argument("--eval_database_file", default=None)
     p.add_argument("--eval_query_file", default=None)
     return p.parse_args()
@@ -92,20 +96,34 @@ def main():
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:
-        cfg = apply_overrides(
-            cfg,
-            **{
-                "model.num_points": 256, "model.feature_dim": 128,
-                "model.num_clusters": 16, "model.output_dim": 64,
-                "model.use_input_transform": False,
-                "train.batch_num_queries": 4,
-                "train.negatives_per_query": 6,
-                "train.base_learning_rate": 1e-3,
-                "train.mining.warmup_epochs": 1,
-            },
-        )
+        if args.synthetic_scale == "small":
+            cfg = apply_overrides(
+                cfg,
+                **{
+                    "model.num_points": 256, "model.feature_dim": 128,
+                    "model.num_clusters": 16, "model.output_dim": 64,
+                    "model.use_input_transform": False,
+                    "train.batch_num_queries": 4,
+                    "train.negatives_per_query": 6,
+                    "train.base_learning_rate": 1e-3,
+                    "train.mining.warmup_epochs": 1,
+                },
+            )
+            places, submaps = 16, 8
+        else:
+            # Full-size dress rehearsal: reference model dims + tuple sizes
+            # on 4096-pt synthetic submaps.
+            cfg = apply_overrides(
+                cfg,
+                **{
+                    "train.base_learning_rate": 5e-4,
+                    "train.mining.warmup_epochs": 1,
+                    "train.mining.cache_refresh_queries": 400,
+                },
+            )
+            places, submaps = 64, 10
         ds = make_synthetic_dataset(
-            num_places=16, submaps_per_place=8,
+            num_places=places, submaps_per_place=submaps,
             num_points=cfg.model.num_points, seed=cfg.train.seed,
         )
         res = TrainResources(
