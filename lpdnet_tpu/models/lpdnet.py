@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices
-from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather
+from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather_trainable
 from lpdnet_tpu.models.pointnet import PointMLP
 
 
@@ -86,8 +86,10 @@ class EdgeConv(nn.Module):
             dtype=jnp.float32 if train else self.dtype, name="bn",
         )
         if self.bn_placement == "post":
-            if self.pallas_gather and not train:
-                agg = edge_max_gather(proj_nbr, idx)
+            if self.pallas_gather:
+                # Differentiable in training too: custom VJP runs the
+                # eq-mask scatter backward as a Pallas kernel.
+                agg = edge_max_gather_trainable(proj_nbr, idx)
             else:
                 agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)
             return nn.relu(bn(agg + proj_ctr))

@@ -65,6 +65,138 @@ def _edge_max_kernel(base_ref, off_ref, feat_ref, out_ref):
     jax.lax.fori_loop(0, tile_m // out_rows, blk_body, 0, unroll=False)
 
 
+def _edge_max_bwd_kernel(
+    base_ref, off_ref, dout_ref, out_ref, feat_ref, dfeat_ref
+):
+    # base/off:  (1, TILE_M, K) int32 SMEM — slab-aligned neighbour rows
+    # dout_ref:  (1, TILE_M, C) cotangent of the aggregated output
+    # out_ref:   (1, TILE_M, C) forward output (the per-row channel maxima)
+    # feat_ref:  (1, N, C) forward input features
+    # dfeat_ref: (1, N, C) accumulated cotangent (revisited across tiles)
+    #
+    # dfeat[n, c] += sum over edges (m, j) with idx=n of
+    #   dout[m, c] * [feat[n, c] == out[m, c]]
+    # — the eq-mask routing of max's gradient. Ties double-count (measure
+    # zero for continuous activations; documented deviation from jnp.max's
+    # tie-splitting VJP).
+    tile_m, k = base_ref.shape[1], base_ref.shape[2]
+    c = feat_ref.shape[2]
+    dtype = dfeat_ref.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dfeat_ref[0] = jnp.zeros((feat_ref.shape[1], c), dtype)
+
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+    blk = 8  # aligned read granularity for dout/out rows
+
+    def blk_body(bi, _):
+        base_m = pl.multiple_of(bi * blk, blk)
+        dout_blk = dout_ref[0, pl.ds(base_m, blk), :]  # (8, C)
+        out_blk = out_ref[0, pl.ds(base_m, blk), :]  # (8, C)
+        for rr in range(blk):
+            m = base_m + rr
+            dout_m = dout_blk[rr : rr + 1, :]  # (1, C) static slice
+            out_m = out_blk[rr : rr + 1, :]
+            # All compare/select math in f32: a bf16 eq yields an i1 mask in
+            # 16-sublane packed layout that Mosaic cannot relayout for an
+            # f32-operand select ("invalid relayout ... vector<16x128xi1>").
+            # bf16 -> f32 is exact, so equality is preserved. Broadcasts are
+            # materialized arithmetically (broadcast_to keeps a replicated
+            # layout with the same relayout problem).
+            zeros = jnp.zeros((SLAB, c), dtype)
+            out_b = zeros + out_m.astype(dtype)
+            dout_b = zeros + dout_m.astype(dtype)
+            neg_inf = jnp.asarray(-jnp.inf, dtype)
+            for j in range(k):
+                nbase = pl.multiple_of(base_ref[0, m, j], SLAB)
+                sel = row_iota == off_ref[0, m, j]  # (SLAB, 1)
+                slab = feat_ref[0, pl.ds(nbase, SLAB), :].astype(dtype)
+                # where(sel, slab, -inf) folds the row-select into the
+                # value compare.
+                cand = jnp.where(sel, slab, neg_inf)  # (SLAB, C)
+                contrib = jnp.where(cand == out_b, dout_b, zeros)
+                acc = dfeat_ref[0, pl.ds(nbase, SLAB), :]
+                dfeat_ref[0, pl.ds(nbase, SLAB), :] = acc + contrib
+        return 0
+
+    jax.lax.fori_loop(0, tile_m // blk, blk_body, 0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def _edge_max_bwd(
+    features: jnp.ndarray,
+    idx: jnp.ndarray,
+    out: jnp.ndarray,
+    dout: jnp.ndarray,
+    *,
+    tile_m: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cotangent of ``edge_max_gather`` w.r.t. ``features``."""
+    b, n, c = features.shape
+    _, m, k = idx.shape
+    if m % tile_m != 0:
+        pad = tile_m - m % tile_m
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        # Padded rows carry zero cotangent: they contribute nothing.
+        out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
+        dout = jnp.pad(dout, ((0, 0), (0, pad), (0, 0)))
+        m += pad
+
+    idx = idx.astype(jnp.int32)
+    base = (idx // SLAB) * SLAB
+    off = idx - base
+    grid = (b, m // tile_m)
+    return pl.pallas_call(
+        _edge_max_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_m, k), lambda bi, mi: (bi, mi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_m, k), lambda bi, mi: (bi, mi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_m, c), lambda bi, mi: (bi, mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c), lambda bi, mi: (bi, mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, mi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c), lambda bi, mi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        # fp32 accumulator regardless of activation dtype: a point can
+        # receive many small contributions.
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(base, off, dout, out, features)
+
+
+@jax.custom_vjp
+def edge_max_gather_trainable(features: jnp.ndarray, idx: jnp.ndarray):
+    """Differentiable ``edge_max_gather``: Pallas forward + Pallas eq-mask
+    scatter backward (the XLA gather+max VJP pays a ~50 ms scatter per conv
+    in the reference-sized train step)."""
+    return edge_max_gather(features, idx)
+
+
+def _emgt_fwd(features, idx):
+    out = edge_max_gather(features, idx)
+    return out, (features, idx, out)
+
+
+def _emgt_bwd(res, dout):
+    features, idx, out = res
+    dfeat = _edge_max_bwd(features, idx, out, dout)
+    return dfeat.astype(features.dtype), None
+
+
+edge_max_gather_trainable.defvjp(_emgt_fwd, _emgt_bwd)
+
+
 @partial(jax.jit, static_argnames=("tile_m", "interpret"))
 def edge_max_gather(
     features: jnp.ndarray,
