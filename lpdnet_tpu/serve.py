@@ -43,17 +43,26 @@ class DescriptorIndex:
     # -- embedding ---------------------------------------------------------
     def embed(self, clouds: np.ndarray) -> np.ndarray:
         """(B, N, C) -> (B, D) descriptors; pads the tail to the fixed
-        serving batch so the compiled program is reused."""
+        serving batch so the compiled program is reused, with a depth-1
+        dispatch pipeline (next batch uploads while the device runs)."""
         bs = self.batch_size
         outs = []
+        pending = None
         for start in range(0, len(clouds), bs):
             chunk = clouds[start : start + bs]
-            pad = bs - len(chunk)
+            count = len(chunk)
+            pad = bs - count
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            vecs = self.embed_fn(self.variables, jnp.asarray(chunk))
-            outs.append(np.asarray(vecs)[: len(clouds) - start][:bs])
-        return np.concatenate(outs, axis=0)[: len(clouds)]
+            fut = self.embed_fn(self.variables, jnp.asarray(chunk))
+            if pending is not None:
+                prev, prev_count = pending
+                outs.append(np.asarray(prev)[:prev_count])
+            pending = (fut, count)
+        if pending is not None:
+            prev, prev_count = pending
+            outs.append(np.asarray(prev)[:prev_count])
+        return np.concatenate(outs, axis=0)
 
     # -- database ----------------------------------------------------------
     def build(
