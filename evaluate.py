@@ -38,6 +38,7 @@ def parse_args():
     p.add_argument("--eval_query_file", default=None)
     p.add_argument("--output_file", default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
@@ -70,6 +71,9 @@ def main():
     if args.eval_query_file: over["data.eval_query_file"] = args.eval_query_file
     if args.output_file: over["eval.output_file"] = args.output_file
     if args.batch_size is not None: over["eval.batch_size"] = args.batch_size
+    if args.num_points is not None:
+        over["data.num_points"] = args.num_points
+        over["model.num_points"] = args.num_points
     if args.dtype: over["model.compute_dtype"] = args.dtype
     cfg = apply_overrides(cfg, **over)
 

@@ -37,6 +37,7 @@ def parse_args():
     p.add_argument("--batch_num_queries", type=int, default=None)
     p.add_argument("--positives_per_query", type=int, default=None)
     p.add_argument("--negatives_per_query", type=int, default=None)
+    p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--margin_1", type=float, default=None)
     p.add_argument("--margin_2", type=float, default=None)
@@ -85,6 +86,9 @@ def main():
         over["train.positives_per_query"] = args.positives_per_query
     if args.negatives_per_query is not None:
         over["train.negatives_per_query"] = args.negatives_per_query
+    if args.num_points is not None:
+        over["data.num_points"] = args.num_points
+        over["model.num_points"] = args.num_points
     if args.learning_rate is not None:
         over["train.base_learning_rate"] = args.learning_rate
     if args.margin_1 is not None: over["train.loss.margin_1"] = args.margin_1
