@@ -19,7 +19,7 @@ import numpy as np
 
 from lpdnet_tpu.configs import PRESETS, apply_overrides
 from lpdnet_tpu.data.binio import load_pc_file
-from lpdnet_tpu.data.pickles import get_sets_dict
+from lpdnet_tpu.data.pickles import get_sets_dict, resolve_artifact
 from lpdnet_tpu.data.synthetic import make_synthetic_dataset
 from lpdnet_tpu.eval.evaluate import evaluate_model, format_results, write_results
 from lpdnet_tpu.parallel.mesh import make_mesh
@@ -96,10 +96,7 @@ def main():
         )
     else:
         def resolve(path: str) -> str:
-            """Eval pickles may sit in the CWD or the dataset folder."""
-            if os.path.isfile(path):
-                return path
-            return os.path.join(cfg.data.dataset_folder, path)
+            return resolve_artifact(path, cfg.data.dataset_folder)
 
         database_sets = query_sets = None
         if not args.all_sets:

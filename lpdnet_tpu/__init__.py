@@ -40,7 +40,9 @@ def __getattr__(name):
         from lpdnet_tpu.train import step as _s
 
         return getattr(_s, name)
-    if name == "train":
+    if name == "run_training":
+        # NOTE: not exported as "train" — that name is the subpackage, and
+        # the import inside this function would permanently shadow it.
         from lpdnet_tpu.train.loop import train
 
         return train

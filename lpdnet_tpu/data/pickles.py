@@ -30,6 +30,15 @@ def get_sets_dict(filename: str) -> List[Dict[int, Dict[str, Any]]]:
     return sets
 
 
+def resolve_artifact(path: str, dataset_folder: str) -> str:
+    """Eval/training pickles may sit in the CWD or the dataset folder."""
+    import os
+
+    if os.path.isfile(path):
+        return path
+    return os.path.join(dataset_folder, path)
+
+
 def save_pickle(obj: Any, filename: str) -> None:
     with open(filename, "wb") as f:
         pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)

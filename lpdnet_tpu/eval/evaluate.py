@@ -19,6 +19,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from lpdnet_tpu.eval.recall import get_recall
+from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
 
 
 def get_latent_vectors(
@@ -36,28 +37,18 @@ def get_latent_vectors(
     without it, files load one by one through ``loader``.
     """
     indices = sorted(entries.keys())
-    outs: List[np.ndarray] = []
-    pending = None  # depth-1 dispatch pipeline: load batch i+1 while the
-    # device runs batch i (dispatch is async; np.asarray synchronizes).
-    for start in range(0, len(indices), batch_size):
-        ids = indices[start : start + batch_size]
-        names = [entries[i]["query"] for i in ids]
-        if batch_loader is not None:
-            pts = batch_loader(names)
-        else:
-            pts = np.stack([loader(n) for n in names])
-        pad = batch_size - len(ids)
-        if pad:
-            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
-        fut = embed_fn(variables, pts)
-        if pending is not None:
-            prev_fut, prev_count = pending
-            outs.append(np.asarray(prev_fut)[:prev_count])
-        pending = (fut, len(ids))
-    if pending is not None:
-        prev_fut, prev_count = pending
-        outs.append(np.asarray(prev_fut)[:prev_count])
-    return np.concatenate(outs, axis=0)
+
+    def batches():
+        for start in range(0, len(indices), batch_size):
+            ids = indices[start : start + batch_size]
+            names = [entries[i]["query"] for i in ids]
+            if batch_loader is not None:
+                pts = batch_loader(names)
+            else:
+                pts = np.stack([loader(n) for n in names])
+            yield pad_batch(pts, batch_size), len(ids)
+
+    return pipelined_embed(embed_fn, variables, batches())
 
 
 def evaluate_model(

@@ -54,8 +54,9 @@ class EdgeConv(nn.Module):
     #   by the parity oracle.
     bn_placement: str = "post"
     # Use the Pallas aligned-slab max-gather kernel (~3.4x XLA's row gather
-    # on v5e) for the inference aggregation. Training always takes the XLA
-    # gather (differentiable); the kernel has no VJP.
+    # on v5e) for the aggregation, in inference AND training (the custom
+    # VJP runs an eq-mask scatter backward kernel). Requires N % 16 == 0;
+    # other point counts silently fall back to the XLA gather.
     pallas_gather: bool = False
 
     @nn.compact
@@ -86,9 +87,10 @@ class EdgeConv(nn.Module):
             dtype=jnp.float32 if train else self.dtype, name="bn",
         )
         if self.bn_placement == "post":
-            if self.pallas_gather:
+            if self.pallas_gather and x.shape[1] % 16 == 0:
                 # Differentiable in training too: custom VJP runs the
-                # eq-mask scatter backward as a Pallas kernel.
+                # eq-mask scatter backward as a Pallas kernel. The kernel
+                # needs SLAB-aligned N; other shapes take the XLA path.
                 agg = edge_max_gather_trainable(proj_nbr, idx)
             else:
                 agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from lpdnet_tpu.eval.recall import knn_retrieve
+from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
 
 
 class DescriptorIndex:
@@ -44,25 +45,16 @@ class DescriptorIndex:
     def embed(self, clouds: np.ndarray) -> np.ndarray:
         """(B, N, C) -> (B, D) descriptors; pads the tail to the fixed
         serving batch so the compiled program is reused, with a depth-1
-        dispatch pipeline (next batch uploads while the device runs)."""
+        dispatch pipeline (next batch uploads while the device runs).
+        An empty input returns an empty (0, 0) array."""
         bs = self.batch_size
-        outs = []
-        pending = None
-        for start in range(0, len(clouds), bs):
-            chunk = clouds[start : start + bs]
-            count = len(chunk)
-            pad = bs - count
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            fut = self.embed_fn(self.variables, jnp.asarray(chunk))
-            if pending is not None:
-                prev, prev_count = pending
-                outs.append(np.asarray(prev)[:prev_count])
-            pending = (fut, count)
-        if pending is not None:
-            prev, prev_count = pending
-            outs.append(np.asarray(prev)[:prev_count])
-        return np.concatenate(outs, axis=0)
+
+        def batches():
+            for start in range(0, len(clouds), bs):
+                chunk = clouds[start : start + bs]
+                yield pad_batch(chunk, bs), len(chunk)
+
+        return pipelined_embed(self.embed_fn, self.variables, batches())
 
     # -- database ----------------------------------------------------------
     def build(

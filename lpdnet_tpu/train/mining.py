@@ -20,6 +20,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from lpdnet_tpu.data.tuples import TupleSampler
+from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
 
 
 class DescriptorCache:
@@ -40,23 +41,14 @@ class DescriptorCache:
         cloud cache; cold reads go through its loader."""
         indices = self.sampler.all_indices
         bs = self.batch_size
-        outs: List[np.ndarray] = []
-        pending = None  # depth-1 dispatch pipeline (see eval sweep)
-        for start in range(0, len(indices), bs):
-            ids = indices[start : start + bs]
-            pts = np.stack([self.sampler.load(i) for i in ids])
-            pad = bs - len(ids)
-            if pad:
-                pts = np.concatenate([pts, np.repeat(pts[-1:], pad, 0)])
-            fut = embed_fn(variables, pts)
-            if pending is not None:
-                prev, cnt = pending
-                outs.append(np.asarray(prev)[:cnt])
-            pending = (fut, len(ids))
-        if pending is not None:
-            prev, cnt = pending
-            outs.append(np.asarray(prev)[:cnt])
-        self.vectors = np.concatenate(outs, axis=0)
+
+        def batches():
+            for start in range(0, len(indices), bs):
+                ids = indices[start : start + bs]
+                pts = np.stack([self.sampler.load(i) for i in ids])
+                yield pad_batch(pts, bs), len(ids)
+
+        self.vectors = pipelined_embed(embed_fn, variables, batches())
         return self.vectors
 
     @property

@@ -19,7 +19,11 @@ import numpy as np
 
 from lpdnet_tpu.configs import PRESETS, apply_overrides
 from lpdnet_tpu.data.binio import load_pc_file
-from lpdnet_tpu.data.pickles import get_queries_dict, get_sets_dict
+from lpdnet_tpu.data.pickles import (
+    get_queries_dict,
+    get_sets_dict,
+    resolve_artifact,
+)
 from lpdnet_tpu.data.synthetic import make_synthetic_dataset
 from lpdnet_tpu.data.tuples import TupleSampler
 from lpdnet_tpu.train.loop import TrainResources, train
@@ -101,18 +105,18 @@ def main():
 
     if args.synthetic:
         if args.synthetic_scale == "small":
-            cfg = apply_overrides(
-                cfg,
-                **{
-                    "model.num_points": 256, "model.feature_dim": 128,
-                    "model.num_clusters": 16, "model.output_dim": 64,
-                    "model.use_input_transform": False,
-                    "train.batch_num_queries": 4,
-                    "train.negatives_per_query": 6,
-                    "train.base_learning_rate": 1e-3,
-                    "train.mining.warmup_epochs": 1,
-                },
-            )
+            small = {
+                "model.feature_dim": 128,
+                "model.num_clusters": 16, "model.output_dim": 64,
+                "model.use_input_transform": False,
+                "train.batch_num_queries": 4,
+                "train.negatives_per_query": 6,
+                "train.base_learning_rate": 1e-3,
+                "train.mining.warmup_epochs": 1,
+            }
+            if args.num_points is None:
+                small["model.num_points"] = 256
+            cfg = apply_overrides(cfg, **small)
             places, submaps = 16, 8
         else:
             # Full-size dress rehearsal: reference model dims + tuple sizes
@@ -152,10 +156,7 @@ def main():
             )
 
         def resolve(path: str) -> str:
-            """Eval pickles may sit in the CWD or the dataset folder."""
-            if os.path.isfile(path):
-                return path
-            return os.path.join(cfg.data.dataset_folder, path)
+            return resolve_artifact(path, cfg.data.dataset_folder)
 
         db_sets = q_sets = None
         db_path = resolve(cfg.data.eval_database_file)
