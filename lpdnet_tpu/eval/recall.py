@@ -28,16 +28,37 @@ def knn_retrieve(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k nearest database rows per query (squared L2), on device.
 
+    Two-stage for precision at matmul speed: the `|q|^2 - 2 q.d + |d|^2`
+    decomposition runs on the MXU but suffers catastrophic cancellation for
+    near-identical unit descriptors (fp32 noise ~1e-6 drowns gaps below
+    ~1e-5, e.g. at random init or near-duplicate submaps), so the matmul
+    only selects 4k candidates and the exact difference form
+    `sum((q - d)^2)` re-ranks them.
+
     Returns (indices (Nq, k), sq_distances (Nq, k)) sorted ascending.
     """
     db = database.astype(jnp.float32)
     q = queries.astype(jnp.float32)
+    nd = db.shape[0]
+    # Center by the database mean: distances are translation-invariant, and
+    # the cancellation magnitude in the decomposition drops from O(|x|^2)
+    # to O(spread^2) — essential when descriptors cluster tightly (TPU f32
+    # matmuls run as bf16 passes; uncentered unit vectors lose everything
+    # below ~1e-6).
+    mu = jnp.mean(db, axis=0, keepdims=True)
+    db_c = db - mu
+    q_c = q - mu
     d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        - 2.0 * q @ db.T
-        + jnp.sum(db * db, axis=1)[None, :]
+        jnp.sum(q_c * q_c, axis=1, keepdims=True)
+        - 2.0 * q_c @ db_c.T
+        + jnp.sum(db_c * db_c, axis=1)[None, :]
     )
-    neg_d, idx = jax.lax.top_k(-d, k)
+    k_cand = min(max(4 * k, 32), nd)
+    _, cand = jax.lax.top_k(-d, k_cand)  # (Nq, k_cand)
+    cand_vecs = db[cand]  # (Nq, k_cand, D)
+    exact = jnp.sum((cand_vecs - q[:, None, :]) ** 2, axis=-1)
+    neg_d, pos = jax.lax.top_k(-exact, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
     return idx, jnp.maximum(-neg_d, 0.0)
 
 

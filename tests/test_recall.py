@@ -66,3 +66,18 @@ def test_get_recall_perfect_retrieval():
     got = get_recall(db, q, tps, num_neighbors=5)
     np.testing.assert_allclose(got["recall"], 100.0)
     assert got["one_percent_recall"] == 100.0
+
+
+def test_knn_retrieve_near_identical_descriptors(rng):
+    """Collapsed descriptors (random-init models, near-duplicate submaps):
+    gaps ~1e-5 sit below the matmul decomposition's fp32 cancellation
+    noise; the exact re-rank stage must still retrieve self at distance 0
+    (regression: all queries used to return one arbitrary tied index)."""
+    base = rng.randn(256).astype(np.float32)
+    base /= np.linalg.norm(base)
+    db = base[None, :] + rng.randn(500, 256).astype(np.float32) * 1e-4
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[:50].copy()  # exact duplicates of the first 50 rows
+    idx, sqd = knn_retrieve(db, q, 3)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(50))
+    np.testing.assert_allclose(np.asarray(sqd)[:, 0], 0.0, atol=1e-9)
