@@ -131,7 +131,7 @@ def _edge_max_bwd(
     out: jnp.ndarray,
     dout: jnp.ndarray,
     *,
-    tile_m: int = 128,
+    tile_m: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Cotangent of ``edge_max_gather`` w.r.t. ``features``."""
@@ -202,7 +202,7 @@ def edge_max_gather(
     features: jnp.ndarray,
     idx: jnp.ndarray,
     *,
-    tile_m: int = 128,
+    tile_m: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[b, m] = max_j features[b, idx[b, m, j]].
