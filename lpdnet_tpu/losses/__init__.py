@@ -4,6 +4,7 @@ C14)."""
 from lpdnet_tpu.losses.quadruplet import (
     best_pos_distance,
     triplet_loss,
+    triplet_loss_wrapper,
     quadruplet_loss,
     loss_from_config,
 )
@@ -11,6 +12,7 @@ from lpdnet_tpu.losses.quadruplet import (
 __all__ = [
     "best_pos_distance",
     "triplet_loss",
+    "triplet_loss_wrapper",
     "quadruplet_loss",
     "loss_from_config",
 ]

@@ -114,6 +114,27 @@ def quadruplet_loss(
     return trip + _hinge_mean(hinge2, lazy, ignore_zero_loss)
 
 
+def triplet_loss_wrapper(
+    query: jnp.ndarray,
+    pos_vecs: jnp.ndarray,
+    neg_vecs: jnp.ndarray,
+    other_neg: jnp.ndarray,
+    margin_1: float,
+    margin_2: float,
+    use_min: bool = False,
+    lazy: bool = False,
+    ignore_zero_loss: bool = False,
+) -> jnp.ndarray:
+    """Quadruplet-signature triplet loss (reference ``triplet_loss_wrapper``
+    — SURVEY C14): lets the driver switch loss kinds behind one call
+    signature; ``other_neg`` and ``margin_2`` are ignored."""
+    del other_neg, margin_2
+    return triplet_loss(
+        query, pos_vecs, neg_vecs, margin_1,
+        use_min=use_min, lazy=lazy, ignore_zero_loss=ignore_zero_loss,
+    )
+
+
 def loss_from_config(
     cfg: LossConfig,
     query: jnp.ndarray,

@@ -86,3 +86,15 @@ def test_loss_from_config_dispatch(rng):
         0.5, 0.2, lazy=True,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_triplet_loss_wrapper_ignores_other_neg(rng):
+    from lpdnet_tpu.losses import triplet_loss_wrapper
+
+    q = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    p = jnp.asarray(rng.randn(3, 2, 8).astype(np.float32))
+    n = jnp.asarray(rng.randn(3, 4, 8).astype(np.float32))
+    o = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    got = float(triplet_loss_wrapper(q, p, n, o, 0.5, 0.2, lazy=True))
+    want = float(triplet_loss(q, p, n, 0.5, lazy=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
