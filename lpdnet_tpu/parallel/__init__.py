@@ -7,5 +7,12 @@ from lpdnet_tpu.parallel.mesh import (
     replicate,
     batch_sharding,
 )
+from lpdnet_tpu.parallel.ddp import make_ddp_train_step
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_sharding",
+    "make_ddp_train_step",
+]

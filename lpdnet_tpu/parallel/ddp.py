@@ -1,0 +1,111 @@
+"""Explicit-collective data-parallel training step (shard_map + pmean).
+
+Two parallel paths exist in this framework:
+
+  * ``train/step.py`` — GSPMD: ``jit`` with ``in_shardings``; XLA decides
+    where collectives go. BatchNorm statistics are computed over the
+    GLOBAL batch (the mean reduction spans the sharded axis).
+  * this module — ``jax.shard_map`` with explicit ``lax.pmean``: each
+    device runs the whole step on its local shard, BatchNorm statistics
+    are PER-REPLICA (exactly the reference's ``nn.DataParallel``
+    semantics, SURVEY C20 — each GPU normalized with its own batch
+    slice), and gradients/batch-stats average across the mesh explicitly.
+
+The GSPMD path is the default (global BN is usually the better
+normalization); this path exists for reference-faithful DDP semantics and
+as the explicit-collective blueprint (psum/pmean ride ICI on real meshes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lpdnet_tpu.configs import LossConfig
+from lpdnet_tpu.losses import loss_from_config
+from lpdnet_tpu.train.state import TrainState
+
+
+def make_ddp_train_step(
+    model,
+    loss_cfg: LossConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
+    """Build the shard_map train step. The batch's leading axis must be
+    divisible by the mesh size; state is replicated in and out."""
+
+    def per_device_step(params, batch_stats, opt_state, step, batch):
+        # Everything in here sees the LOCAL batch shard.
+        q = batch["query"][:, None]
+        stacked = jnp.concatenate(
+            [q, batch["positives"], batch["negatives"],
+             batch["other_neg"][:, None]],
+            axis=1,
+        )
+        b, t, n, c = stacked.shape
+        flat = stacked.reshape(b * t, n, c)
+        p = batch["positives"].shape[1]
+        m = batch["negatives"].shape[1]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                flat,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            desc = out.reshape(b, t, -1)
+            loss = loss_from_config(
+                loss_cfg, desc[:, 0], desc[:, 1 : 1 + p],
+                desc[:, 1 + p : 1 + p + m], desc[:, -1],
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, local_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # Explicit collectives over the mesh axis (ICI on hardware):
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        # DataParallel keeps replica-0 statistics; averaging replicas is
+        # the strictly-better variant of the same per-replica semantics.
+        stats = jax.lax.pmean(local_stats, data_axis)
+        return grads, stats, loss
+
+    state_spec = P()  # replicated
+    batch_spec = {
+        "query": P(data_axis),
+        "positives": P(data_axis),
+        "negatives": P(data_axis),
+        "other_neg": P(data_axis),
+    }
+
+    sharded = jax.shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(state_spec, state_spec, state_spec, state_spec, batch_spec),
+        out_specs=(state_spec, state_spec, state_spec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        grads, stats, loss = sharded(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            batch,
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=stats)
+        return new_state, loss
+
+    def run(state, batch):
+        batch = jax.device_put(
+            batch,
+            {k: NamedSharding(mesh, v) for k, v in batch_spec.items()},
+        )
+        return step(state, batch)
+
+    return run

@@ -165,3 +165,52 @@ def test_train_loop_shrinks_mesh_to_divide_batch(tmp_path):
     )
     out = train(cfg, res, use_mesh=True)
     assert int(out["state"].step) > 0
+
+
+def test_ddp_shard_map_step_matches_single_device_on_replicated_batch():
+    """With every device holding an IDENTICAL batch shard, per-replica BN
+    equals global BN, so the shard_map DDP step must reproduce the
+    single-device step exactly (loss and updated params)."""
+    from lpdnet_tpu.parallel.ddp import make_ddp_train_step
+    from lpdnet_tpu.parallel.mesh import replicate
+
+    model, state, cfg_t, batch = make_bits()  # batch_num_queries=8
+    # Replicate one query's tuple 8x so each of the 8 devices sees the
+    # same shard.
+    batch = {k: np.repeat(v[:1], 8, axis=0) for k, v in batch.items()}
+
+    step_single = make_train_step(model, cfg_t.loss, donate=False)
+    # Single-device equivalent: ONE copy of the tuple (the mean over 8
+    # identical tuples equals the value on one).
+    single_batch = {k: v[:1] for k, v in batch.items()}
+    state_s, loss_s = step_single(state, single_batch)
+
+    mesh = make_mesh(8)
+    ddp_step = make_ddp_train_step(model, cfg_t.loss, mesh)
+    state_m, loss_m = ddp_step(replicate(state, mesh), batch)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(jax.device_get(state_m.params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_ddp_shard_map_step_trains():
+    """Distinct shards: the DDP step must run and decrease loss."""
+    from lpdnet_tpu.parallel.ddp import make_ddp_train_step
+    from lpdnet_tpu.parallel.mesh import replicate
+
+    model, state, cfg_t, batch = make_bits()
+    mesh = make_mesh(8)
+    ddp_step = make_ddp_train_step(model, cfg_t.loss, mesh)
+    state = replicate(state, mesh)
+    losses = []
+    for _ in range(6):
+        state, loss = ddp_step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
