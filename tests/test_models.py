@@ -1,6 +1,8 @@
 """Model forward smoke + invariants (replaces the reference's __main__ smoke
 blocks — SURVEY §4 — with real assertions)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -86,3 +88,16 @@ def test_forward_jits_and_is_deterministic(rng):
     np.testing.assert_allclose(a, b, atol=0)
     eager = np.asarray(model.apply(variables, x, train=False))
     np.testing.assert_allclose(a, eager, rtol=1e-4, atol=1e-5)
+
+
+def test_lpdnet_non_slab_aligned_point_count(rng):
+    """N not a multiple of 16 must take the XLA gather fallback (the
+    Pallas kernel requires SLAB-aligned N) and still produce descriptors."""
+    cfg = dataclasses.replace(
+        small_cfg("lpdnet"), num_points=100, pallas_gather="on"
+    )
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    x = jnp.asarray(rng.randn(1, 100, 3).astype(np.float32))
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, cfg.output_dim)
+    assert np.all(np.isfinite(np.asarray(out)))
