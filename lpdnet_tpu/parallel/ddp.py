@@ -7,26 +7,34 @@ Two parallel paths exist in this framework:
     GLOBAL batch (the mean reduction spans the sharded axis).
   * this module — ``jax.shard_map`` with explicit ``lax.pmean``: each
     device runs the whole step on its local shard, BatchNorm statistics
-    are PER-REPLICA (exactly the reference's ``nn.DataParallel``
-    semantics, SURVEY C20 — each GPU normalized with its own batch
+    are PER-REPLICA (the reference's ``nn.DataParallel`` normalization
+    semantics, SURVEY C20 — each GPU normalizes with its own batch
     slice), and gradients/batch-stats average across the mesh explicitly.
 
 The GSPMD path is the default (global BN is usually the better
 normalization); this path exists for reference-faithful DDP semantics and
 as the explicit-collective blueprint (psum/pmean ride ICI on real meshes).
+
+Limitation: ``ignore_zero_loss=True`` averages over *active* tuples, which
+is non-linear across shards — a pmean of per-shard means diverges from the
+global-batch value whenever activity is unevenly distributed. This path
+rejects that flag; use the GSPMD step for it.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from lpdnet_tpu.configs import LossConfig
 from lpdnet_tpu.losses import loss_from_config
+from lpdnet_tpu.parallel.mesh import shard_batch
 from lpdnet_tpu.train.state import TrainState
+from lpdnet_tpu.train.step import _flatten_tuples
 
 
 def make_ddp_train_step(
@@ -37,19 +45,18 @@ def make_ddp_train_step(
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
     """Build the shard_map train step. The batch's leading axis must be
     divisible by the mesh size; state is replicated in and out."""
-
-    def per_device_step(params, batch_stats, opt_state, step, batch):
-        # Everything in here sees the LOCAL batch shard.
-        q = batch["query"][:, None]
-        stacked = jnp.concatenate(
-            [q, batch["positives"], batch["negatives"],
-             batch["other_neg"][:, None]],
-            axis=1,
+    if loss_cfg.ignore_zero_loss:
+        raise ValueError(
+            "ignore_zero_loss averages over active tuples, which does not "
+            "decompose across shards; use the GSPMD train step "
+            "(train.step.make_train_step) for that flag"
         )
-        b, t, n, c = stacked.shape
-        flat = stacked.reshape(b * t, n, c)
-        p = batch["positives"].shape[1]
-        m = batch["negatives"].shape[1]
+
+    def per_device_grads(params, batch_stats, batch):
+        # Everything in here sees the LOCAL batch shard.
+        flat, p, m = _flatten_tuples(batch)
+        b = batch["query"].shape[0]
+        t = 1 + p + m + 1
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -76,7 +83,7 @@ def make_ddp_train_step(
         stats = jax.lax.pmean(local_stats, data_axis)
         return grads, stats, loss
 
-    state_spec = P()  # replicated
+    repl = P()  # replicated
     batch_spec = {
         "query": P(data_axis),
         "positives": P(data_axis),
@@ -85,27 +92,20 @@ def make_ddp_train_step(
     }
 
     sharded = jax.shard_map(
-        per_device_step,
+        per_device_grads,
         mesh=mesh,
-        in_specs=(state_spec, state_spec, state_spec, state_spec, batch_spec),
-        out_specs=(state_spec, state_spec, state_spec),
+        in_specs=(repl, repl, batch_spec),
+        out_specs=(repl, repl, repl),
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
-        grads, stats, loss = sharded(
-            state.params, state.batch_stats, state.opt_state, state.step,
-            batch,
-        )
+        grads, stats, loss = sharded(state.params, state.batch_stats, batch)
         new_state = state.apply_gradients(grads=grads, batch_stats=stats)
         return new_state, loss
 
     def run(state, batch):
-        batch = jax.device_put(
-            batch,
-            {k: NamedSharding(mesh, v) for k, v in batch_spec.items()},
-        )
-        return step(state, batch)
+        return step(state, shard_batch(batch, mesh, data_axis))
 
     return run

@@ -214,3 +214,16 @@ def test_ddp_shard_map_step_trains():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_ddp_rejects_ignore_zero_loss():
+    from lpdnet_tpu.configs import LossConfig
+    from lpdnet_tpu.parallel.ddp import make_ddp_train_step
+
+    model, state, cfg_t, batch = make_bits()
+    mesh = make_mesh(8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ignore_zero_loss"):
+        make_ddp_train_step(
+            model, LossConfig(ignore_zero_loss=True), mesh
+        )
