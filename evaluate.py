@@ -42,6 +42,8 @@ def parse_args():
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--exact_knn", action="store_true",
+                   help="exact top_k selection (fidelity audit; slow)")
     p.add_argument(
         "--all_sets", action="store_true",
         help="evaluate all four benchmark sets (oxford + university + "
@@ -75,6 +77,7 @@ def main():
         over["data.num_points"] = args.num_points
         over["model.num_points"] = args.num_points
     if args.dtype: over["model.compute_dtype"] = args.dtype
+    if args.exact_knn: over["model.exact_knn"] = True
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:

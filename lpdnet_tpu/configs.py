@@ -86,6 +86,9 @@ class ModelConfig:
     # Pallas aligned-slab max-gather for inference EdgeConv aggregation:
     # 'auto' = on for TPU backends, off on CPU; 'on' | 'off' force it.
     pallas_gather: str = "auto"
+    # Exact kNN selection everywhere (lax.top_k; slow on TPU) — for
+    # fidelity audits of the approximate default.
+    exact_knn: bool = False
 
     @property
     def effective_input_dim(self) -> int:

@@ -124,6 +124,7 @@ class LPDNetFeat(nn.Module):
     edge_bn_placement: str = "post"
     pallas_gather: bool = False
     recall_target: float = 0.95
+    exact_knn: bool = False
 
     @nn.compact
     def __call__(
@@ -146,7 +147,7 @@ class LPDNetFeat(nn.Module):
         if idx_xyz is None:
             idx_xyz = knn_indices(
                 xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,
-                recall_target=self.recall_target,
+                recall_target=self.recall_target, exact=self.exact_knn,
             )
         h = EdgeConv(
             self.spatial_width, dtype=self.dtype,
@@ -156,7 +157,7 @@ class LPDNetFeat(nn.Module):
         # Graph 2: neighbourhoods rebuilt in learned-feature space.
         idx_feat = knn_indices(
             h, self.k, block=self.knn_block, dist_dtype=dist_dtype,
-            recall_target=self.recall_target,
+            recall_target=self.recall_target, exact=self.exact_knn,
         )
         h = EdgeConv(
             self.feature_width, dtype=self.dtype,

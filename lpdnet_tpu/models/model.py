@@ -53,6 +53,7 @@ class DescriptorNet(nn.Module):
                     block=cfg.features.knn_block,
                     recall_target=cfg.features.recall_target,
                     fused_stats=cfg.features.fused_stats,
+                    exact=cfg.exact_knn,
                 )
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
@@ -64,6 +65,7 @@ class DescriptorNet(nn.Module):
                 dtype=dtype,
                 pallas_gather=use_pallas,
                 recall_target=cfg.features.recall_target,
+                exact_knn=cfg.exact_knn,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":
