@@ -26,7 +26,7 @@ N = 128
 
 
 def t(x):
-    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+    return torch.from_numpy(np.array(x, dtype=np.float32))  # copy: torch rejects read-only jax buffers
 
 
 def torch_bn(x, stats, params, eps=1e-5):
