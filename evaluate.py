@@ -22,7 +22,7 @@ from lpdnet_tpu.data.binio import load_pc_file
 from lpdnet_tpu.data.pickles import get_sets_dict, resolve_artifact
 from lpdnet_tpu.data.synthetic import make_synthetic_dataset
 from lpdnet_tpu.eval.evaluate import evaluate_model, format_results, write_results
-from lpdnet_tpu.parallel.mesh import make_mesh
+from lpdnet_tpu.parallel.mesh import fitting_device_count, make_mesh
 from lpdnet_tpu.train.state import create_train_state
 from lpdnet_tpu.train.step import make_embed_fn
 from lpdnet_tpu.utils.checkpoint import CheckpointManager
@@ -136,7 +136,11 @@ def main():
     else:
         print("warning: no checkpoint found; evaluating random init")
 
-    mesh = None if args.no_mesh else make_mesh(cfg.mesh.num_devices)
+    mesh = None
+    if not args.no_mesh:
+        # The mesh must divide the eval batch (embed sweeps shard it).
+        avail = cfg.mesh.num_devices or len(jax.devices())
+        mesh = make_mesh(fitting_device_count(avail, cfg.eval.batch_size))
     embed = make_embed_fn(model, mesh=mesh)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -78,6 +78,8 @@ class ModelConfig:
     # NetVLAD head (SURVEY C12)
     num_clusters: int = 64
     add_batch_norm: bool = True  # BN (vs bias) on the soft-assignment logits
+    # Reference bn2: unconditional BatchNorm on the NetVLAD output projection.
+    post_projection_bn: bool = True
     gating: bool = True  # GatingContext on the output descriptor
     normalize_output: bool = True  # L2-normalize the final descriptor
     features: FeatureConfig = field(default_factory=FeatureConfig)
@@ -152,7 +154,8 @@ class TrainConfig:
     base_learning_rate: float = 5e-5
     decay_step: int = 200_000  # examples, exponential stair decay
     decay_rate: float = 0.7
-    min_learning_rate: float = 1e-7
+    # Reference clips the decayed LR at 1e-5 (ADVICE round 1).
+    min_learning_rate: float = 1e-5
     momentum: float = 0.9
     optimizer: str = "adam"  # 'adam' | 'momentum'
     seed: int = 0

@@ -36,14 +36,22 @@ import numpy as np
 import pandas as pd
 from sklearn.neighbors import KDTree
 
-# Published Oxford test-region centers (northing, easting), 150 m squares.
+# Published Oxford test-region centers (northing, easting).
 OXFORD_TEST_REGIONS: List[Tuple[float, float]] = [
     (5735712.768124, 620084.402381),
     (5735611.299219, 620540.270327),
     (5735237.358209, 620543.094379),
     (5734749.303802, 619932.693364),
 ]
-REGION_WIDTH = 150.0  # meters, square half-width*2 (reference x/y width)
+# Half-extent of each square test region, in meters. The upstream
+# PointNetVLAD-family scripts (inherited by LPD-Net-Pytorch) test
+# ``point - x_width < northing < point + x_width`` with ``x_width = 150``,
+# i.e. +-150 m around each center (300 m squares). The reference mount was
+# empty both survey sessions, so this follows the upstream-family semantics
+# (ADVICE round 1); re-verify against
+# ``generating_queries/generate_training_tuples_baseline.py`` if the mount
+# appears.
+REGION_WIDTH = 150.0
 
 
 def check_in_test_set(
@@ -53,10 +61,11 @@ def check_in_test_set(
     width: float = REGION_WIDTH,
 ) -> bool:
     """True if the point falls inside any test rectangle (reference
-    ``check_in_test_set``: center +- width/2 in both axes)."""
-    half = width / 2.0
+    ``check_in_test_set``: center +- width in both axes, strict bounds)."""
     for cn, ce in regions:
-        if abs(northing - cn) <= half and abs(easting - ce) <= half:
+        if cn - width < northing < cn + width and (
+            ce - width < easting < ce + width
+        ):
             return True
     return False
 
@@ -125,6 +134,7 @@ def generate_training_tuples(
     out_dir: str,
     mode: str = "baseline",
     regions: Optional[Dict[str, List[Tuple[float, float]]]] = None,
+    region_width: float = REGION_WIDTH,
 ) -> Dict[str, str]:
     """Build training/test query pickles (SURVEY C7/C8).
 
@@ -144,7 +154,7 @@ def generate_training_tuples(
             ds_regions = regions.get(ds, [])
             in_test = df.apply(
                 lambda r: check_in_test_set(
-                    r["northing"], r["easting"], ds_regions
+                    r["northing"], r["easting"], ds_regions, region_width
                 ),
                 axis=1,
             )
@@ -182,6 +192,7 @@ def construct_query_and_database_sets(
     out_dir: str,
     regions: Optional[Sequence[Tuple[float, float]]] = None,
     true_positive_radius: float = 25.0,
+    region_width: float = REGION_WIDTH,
 ) -> Tuple[str, str]:
     """Build ``<dataset>_evaluation_{database,query}.pickle`` (SURVEY C9).
 
@@ -209,7 +220,7 @@ def construct_query_and_database_sets(
             }
             db[len(db)] = dict(entry)
             if regions is None or check_in_test_set(
-                row["northing"], row["easting"], regions
+                row["northing"], row["easting"], regions, region_width
             ):
                 qs[q_i] = dict(entry)
                 q_i += 1
@@ -257,6 +268,10 @@ def main():
         "--regions_json", default=None,
         help="JSON file: {dataset: [[northing, easting], ...]} region centers",
     )
+    p.add_argument(
+        "--region_width", type=float, default=REGION_WIDTH,
+        help="test-region half-extent in meters (reference x_width)",
+    )
     args = p.parse_args()
 
     regions = None
@@ -268,7 +283,8 @@ def main():
 
     if args.mode in ("baseline", "refine"):
         outputs = generate_training_tuples(
-            args.dataset_folder, args.out_dir, args.mode, regions
+            args.dataset_folder, args.out_dir, args.mode, regions,
+            region_width=args.region_width,
         )
         for kind, path in outputs.items():
             print(f"{kind}: {path}")
@@ -278,6 +294,7 @@ def main():
             db, q = construct_query_and_database_sets(
                 args.dataset_folder, ds, args.out_dir,
                 regions=all_regions.get(ds),
+                region_width=args.region_width,
             )
             print(f"{ds}: {db} {q}")
 

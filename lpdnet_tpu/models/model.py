@@ -85,6 +85,7 @@ class DescriptorNet(nn.Module):
             output_dim=cfg.output_dim,
             add_batch_norm=cfg.add_batch_norm,
             gating=cfg.gating,
+            post_projection_bn=cfg.post_projection_bn,
             dtype=dtype,
             name="netvlad",
         )(trunk_out, train=train)

@@ -48,6 +48,10 @@ class NetVLADLoupe(nn.Module):
     output_dim: int = 256
     add_batch_norm: bool = True
     gating: bool = True
+    # The reference NetVLADLoupe applies a BatchNorm1d ("bn2") to the output
+    # projection unconditionally (even with add_batch_norm=False), before
+    # context gating; the projection itself is a bare matmul (no bias).
+    post_projection_bn: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,10 +81,14 @@ class NetVLADLoupe(nn.Module):
 
         out = nn.Dense(
             self.output_dim,
-            use_bias=True,
+            use_bias=not self.post_projection_bn,
             kernel_init=nn.initializers.normal(1.0 / jnp.sqrt(k)),
             name="hidden1_weights",
         )(vlad)
+        if self.post_projection_bn:
+            out = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name="hidden1_bn"
+            )(out)
         if self.gating:
             out = GatingContext(
                 self.output_dim,

@@ -32,6 +32,18 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def fitting_device_count(available: int, *batch_sizes: int) -> int:
+    """Largest device count <= ``available`` that divides every batch size.
+
+    The batch axis shards over the mesh, so the mesh size must divide each
+    batch dimension it serves (train tuples AND eval/mining embed sweeps).
+    """
+    ndev = max(1, min([available, *batch_sizes]))
+    while any(b % ndev for b in batch_sizes):
+        ndev -= 1
+    return ndev
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

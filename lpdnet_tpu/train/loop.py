@@ -22,7 +22,9 @@ import numpy as np
 from lpdnet_tpu.configs import Config
 from lpdnet_tpu.data.tuples import TupleSampler
 from lpdnet_tpu.eval.evaluate import evaluate_model, write_results
-from lpdnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from lpdnet_tpu.parallel.mesh import (
+    fitting_device_count, make_mesh, replicate, shard_batch,
+)
 from lpdnet_tpu.train.mining import DescriptorCache
 from lpdnet_tpu.train.state import create_train_state
 from lpdnet_tpu.train.step import make_embed_fn, make_train_step
@@ -85,11 +87,11 @@ def train(
         # divisor (the reference's DataParallel silently idles extra GPUs
         # the same way).
         avail = cfg.mesh.num_devices or len(jax.devices())
-        ndev = min(avail, tc.batch_num_queries)
         # The same mesh serves the eval/mining embed sweeps, so it must
         # divide that batch size too.
-        while tc.batch_num_queries % ndev or cfg.eval.batch_size % ndev:
-            ndev -= 1
+        ndev = fitting_device_count(
+            avail, tc.batch_num_queries, cfg.eval.batch_size
+        )
         if cfg.mesh.num_devices is not None and ndev != cfg.mesh.num_devices:
             logger.log(
                 "mesh_shrunk", requested=cfg.mesh.num_devices, used=ndev,

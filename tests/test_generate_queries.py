@@ -43,10 +43,13 @@ def make_mini_oxford(tmp_path, num_runs=2, n_side=8, spacing=20.0):
 
 
 def test_check_in_test_set():
+    # width is the half-extent (reference x_width semantics: +-width, strict).
     assert check_in_test_set(1000.0, 1000.0, REGION)
-    assert check_in_test_set(1074.9, 925.1, REGION)
-    assert not check_in_test_set(1076.0, 1000.0, REGION)
-    assert not check_in_test_set(1000.0, 1100.0, REGION)
+    assert check_in_test_set(1149.9, 850.1, REGION)  # default width 150
+    assert not check_in_test_set(1150.0, 1000.0, REGION)  # strict bound
+    assert not check_in_test_set(1000.0, 1151.0, REGION)
+    assert check_in_test_set(1074.9, 925.1, REGION, width=75.0)
+    assert not check_in_test_set(1076.0, 1000.0, REGION, width=75.0)
 
 
 def test_construct_query_dict_radii():
@@ -68,16 +71,15 @@ def test_generate_training_tuples_baseline(tmp_path):
     base = make_mini_oxford(tmp_path)
     out = generate_training_tuples(
         base, str(tmp_path / "out"), "baseline",
-        regions={"oxford": REGION},
+        regions={"oxford": REGION}, region_width=75.0,
     )
     with open(out["train"], "rb") as f:
         train = pickle.load(f)
     with open(out["test"], "rb") as f:
         test = pickle.load(f)
-    # Grid is 8x8 = 64 per run, 2 runs = 128 total. Region covers the
-    # square [925, 1075]^2 -> grid points with coords in {940..1060} =
-    # indices 2..8 -> wait: coords 900+i*20 in [925,1075] -> i in 2..8
-    # but n_side=8 so i in 2..7 -> 6x6=36 per run in test.
+    # Grid is 8x8 = 64 per run, 2 runs = 128 total. Region (half-extent
+    # 75 m) covers the open square (925, 1075)^2 -> grid coords 900+i*20 in
+    # {940..1060} -> i in 2..7 -> 6x6=36 per run in test.
     assert len(test) == 36 * 2
     assert len(train) == 128 - 72
     # Every entry has the reference layout.
@@ -95,7 +97,8 @@ def test_generate_training_tuples_baseline(tmp_path):
 def test_construct_query_and_database_sets(tmp_path):
     base = make_mini_oxford(tmp_path)
     db_path, q_path = construct_query_and_database_sets(
-        base, "oxford", str(tmp_path / "out"), regions=REGION
+        base, "oxford", str(tmp_path / "out"), regions=REGION,
+        region_width=75.0,
     )
     with open(db_path, "rb") as f:
         dbs = pickle.load(f)
@@ -126,7 +129,8 @@ def test_generated_pickles_feed_sampler(tmp_path):
 
     base = make_mini_oxford(tmp_path)
     out = generate_training_tuples(
-        base, str(tmp_path / "out"), "baseline", regions={"oxford": REGION}
+        base, str(tmp_path / "out"), "baseline",
+        regions={"oxford": REGION}, region_width=75.0,
     )
     with open(out["train"], "rb") as f:
         train = pickle.load(f)

@@ -85,10 +85,11 @@ def test_full_oxford_format_workflow(tmp_path):
     # the 10 m radius; negatives beyond 50 m exist at 30 m grid spacing
     # (2+ nodes away).
     outputs = generate_training_tuples(
-        base, out_dir, "baseline", regions={"oxford": REGION}
+        base, out_dir, "baseline", regions={"oxford": REGION},
+        region_width=75.0,
     )
     db_path, q_path = construct_query_and_database_sets(
-        base, "oxford", out_dir, regions=REGION
+        base, "oxford", out_dir, regions=REGION, region_width=75.0,
     )
 
     train_queries = get_queries_dict(outputs["train"])

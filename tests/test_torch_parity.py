@@ -67,7 +67,7 @@ def torch_pointnet_trunk(x, params, stats, use_input_transform=True):
 
 
 def torch_netvlad(x, params, stats, add_batch_norm=True, gating=True,
-                  eps=1e-12):
+                  post_projection_bn=True, eps=1e-12):
     logits = x @ t(params["cluster_weights"]["kernel"])
     if add_batch_norm:
         logits = torch_bn(logits, stats["cluster_bn"], params["cluster_bn"])
@@ -80,9 +80,12 @@ def torch_netvlad(x, params, stats, add_batch_norm=True, gating=True,
     vlad = vlad / torch.sqrt((vlad**2).sum(-1, keepdim=True) + eps)
     flat = vlad.reshape(x.shape[0], -1)
     flat = flat / torch.sqrt((flat**2).sum(-1, keepdim=True) + eps)
-    out = flat @ t(params["hidden1_weights"]["kernel"]) + t(
-        params["hidden1_weights"]["bias"]
-    )
+    out = flat @ t(params["hidden1_weights"]["kernel"])
+    if post_projection_bn:
+        # Reference bn2: unconditional BN on the projection (no Dense bias).
+        out = torch_bn(out, stats["hidden1_bn"], params["hidden1_bn"])
+    else:
+        out = out + t(params["hidden1_weights"]["bias"])
     if gating:
         g = params["context_gating"]
         gates = out @ t(g["gating_weights"]["kernel"])
@@ -103,7 +106,7 @@ def torch_descriptor(x, variables, cfg):
     )
     out = torch_netvlad(
         trunk, params["netvlad"], stats.get("netvlad", {}),
-        cfg.add_batch_norm, cfg.gating,
+        cfg.add_batch_norm, cfg.gating, cfg.post_projection_bn,
     )
     if cfg.normalize_output:
         out = out / torch.sqrt((out**2).sum(-1, keepdim=True) + 1e-12)
@@ -193,7 +196,7 @@ def test_lpd_trunk_descriptor_parity(rng):
     theirs = torch_netvlad(
         trunk, tree["params"]["netvlad"],
         tree["batch_stats"].get("netvlad", {}),
-        cfg.add_batch_norm, cfg.gating,
+        cfg.add_batch_norm, cfg.gating, cfg.post_projection_bn,
     )
     theirs = theirs / torch.sqrt((theirs**2).sum(-1, keepdim=True) + 1e-12)
     theirs = theirs.numpy()
