@@ -193,6 +193,13 @@ class MeshConfig:
     data_axis: str = "data"
     # None -> use all visible devices on the data axis.
     num_devices: Optional[int] = None
+    # How the train batch relates to the mesh:
+    #   'per_device': each device carries batch_num_queries queries — the
+    #     global batch scales with the mesh (what nn.DataParallel gives each
+    #     replica); no chip idles.
+    #   'fit': global batch stays batch_num_queries and the mesh shrinks to
+    #     its largest divisor (the reference DataParallel's idling behavior).
+    batch_scaling: str = "per_device"
 
 
 @dataclass(frozen=True)

@@ -81,26 +81,37 @@ def train(
     save_config(cfg, tc.log_dir)
 
     mesh = None
+    global_batch = tc.batch_num_queries
     if use_mesh:
-        # The batch axis shards over the mesh, so the mesh size must divide
-        # batch_num_queries; with more devices than that, use the largest
-        # divisor (the reference's DataParallel silently idles extra GPUs
-        # the same way).
         avail = cfg.mesh.num_devices or len(jax.devices())
-        # The same mesh serves the eval/mining embed sweeps, so it must
-        # divide that batch size too.
-        ndev = fitting_device_count(
-            avail, tc.batch_num_queries, cfg.eval.batch_size
-        )
-        if cfg.mesh.num_devices is not None and ndev != cfg.mesh.num_devices:
+        if cfg.mesh.batch_scaling == "per_device":
+            # Each device carries batch_num_queries queries: the global
+            # batch scales with the mesh and no chip idles. The mesh must
+            # still divide the eval/mining embed batch.
+            ndev = fitting_device_count(avail, cfg.eval.batch_size)
+            global_batch = tc.batch_num_queries * ndev
+        else:
+            # 'fit': the batch axis shards over the mesh, so the mesh size
+            # must divide batch_num_queries; with more devices than that,
+            # use the largest divisor (the reference's DataParallel
+            # silently idles extra GPUs the same way).
+            ndev = fitting_device_count(
+                avail, tc.batch_num_queries, cfg.eval.batch_size
+            )
+        if ndev != avail:
             logger.log(
-                "mesh_shrunk", requested=cfg.mesh.num_devices, used=ndev,
+                "mesh_shrunk", requested=avail, used=ndev,
                 batch_num_queries=tc.batch_num_queries,
             )
+        logger.log(
+            "mesh", devices=ndev, scaling=cfg.mesh.batch_scaling,
+            global_batch_queries=global_batch,
+        )
         mesh = make_mesh(ndev, cfg.mesh.data_axis)
 
     model, state = create_train_state(
-        cfg.model, tc, jax.random.key(tc.seed)
+        cfg.model, tc, jax.random.key(tc.seed),
+        examples_per_step=global_batch,
     )
     train_step = make_train_step(
         model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis
@@ -153,7 +164,7 @@ def train(
         next_refresh = mining.cache_refresh_queries
         batches = _prefetch(
             res.sampler.epoch_batches(
-                tc.batch_num_queries,
+                global_batch,
                 rng_np,
                 hard_negs_fn=hard_fn if use_hard else None,
                 rotate=cfg.data.augment_rotate,

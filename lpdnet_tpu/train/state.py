@@ -39,11 +39,16 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+def make_lr_schedule(
+    cfg: TrainConfig, examples_per_step: int | None = None
+) -> optax.Schedule:
     """Exponential stair decay in *examples*, matching the reference's
-    ``BASE * DECAY_RATE ^ (examples / DECAY_STEP)`` (SURVEY C1): each step
-    consumes ``batch_num_queries`` examples."""
-    transition_steps = max(cfg.decay_step // cfg.batch_num_queries, 1)
+    ``BASE * DECAY_RATE ^ (examples / DECAY_STEP)`` (SURVEY C1). Each step
+    consumes ``examples_per_step`` examples — ``batch_num_queries`` on one
+    device, ``batch_num_queries * mesh_size`` under per-device batch
+    scaling."""
+    per_step = examples_per_step or cfg.batch_num_queries
+    transition_steps = max(cfg.decay_step // per_step, 1)
     sched = optax.exponential_decay(
         init_value=cfg.base_learning_rate,
         transition_steps=transition_steps,
@@ -57,8 +62,10 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     return clipped
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    sched = make_lr_schedule(cfg)
+def make_optimizer(
+    cfg: TrainConfig, examples_per_step: int | None = None
+) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg, examples_per_step)
     if cfg.optimizer == "adam":
         return optax.adam(sched)
     if cfg.optimizer == "momentum":
@@ -70,9 +77,10 @@ def create_train_state(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     rng: jax.Array,
+    examples_per_step: int | None = None,
 ) -> tuple[nn.Module, TrainState]:
     model, variables = init_model(model_cfg, rng, batch_size=1)
-    tx = make_optimizer(train_cfg)
+    tx = make_optimizer(train_cfg, examples_per_step)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     state = TrainState(

@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--no_mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--batch_scaling", default=None,
+                   choices=["per_device", "fit"],
+                   help="per_device: global batch = batch_num_queries x mesh "
+                        "size; fit: shrink the mesh to divide the batch")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                    help="activation/matmul compute dtype")
@@ -100,6 +104,7 @@ def main():
     if args.resume: over["train.resume"] = True
     if args.seed is not None: over["train.seed"] = args.seed
     if args.num_devices is not None: over["mesh.num_devices"] = args.num_devices
+    if args.batch_scaling: over["mesh.batch_scaling"] = args.batch_scaling
     if args.dtype: over["model.compute_dtype"] = args.dtype
     cfg = apply_overrides(cfg, **over)
 
