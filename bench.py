@@ -123,6 +123,126 @@ def bench_train_step(batch_queries=2, iters=8):
     return queries_per_sec, submaps_per_sec
 
 
+def bench_eval(
+    db_size: int = 2048,
+    q_size: int = 512,
+    num_runs: int = 2,
+    batch_size: int = 64,
+    num_points: int = 4096,
+    pool: int = 128,
+):
+    """Batched-eval throughput (BASELINE config 3): database + query
+    descriptor extraction through the native .bin batch loader, then
+    recall@25 retrieval over a ~4k-descriptor database.
+
+    Cloud contents don't affect cost (fixed shapes), so a small pool of
+    distinct 4096-pt clouds is written to disk once and entries reference it
+    cyclically — the IO path (real file reads through the C++ thread pool)
+    and the device path (embed + retrieval) are the real ones.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    from lpdnet_tpu.configs import ModelConfig, TrainConfig
+    from lpdnet_tpu.data.binio import load_pc_file, save_pc_file
+    from lpdnet_tpu.data.native_loader import NativeBatchLoader
+    from lpdnet_tpu.eval.evaluate import get_latent_vectors
+    from lpdnet_tpu.eval.recall import get_recall, knn_retrieve
+    from lpdnet_tpu.models.model import init_model
+    from lpdnet_tpu.train.step import make_embed_fn
+
+    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    embed = make_embed_fn(model)
+
+    tmpdir = tempfile.mkdtemp(prefix="lpd_bench_eval_")
+    try:
+        rs = np.random.RandomState(0)
+        for i in range(pool):
+            save_pc_file(
+                rs.randn(num_points, 3).astype(np.float32) * 0.3,
+                f"{tmpdir}/pool/{i:04d}.bin",
+            )
+
+        def entry_set(count):
+            return {
+                i: {"query": f"pool/{i % pool:04d}.bin"} for i in range(count)
+            }
+
+        database_sets = [entry_set(db_size) for _ in range(num_runs)]
+        query_sets = [entry_set(q_size) for _ in range(num_runs)]
+        tps = [[i % db_size] for i in range(q_size)]
+
+        def loader(fname):
+            return load_pc_file(fname, tmpdir, num_points)
+
+        nbl = NativeBatchLoader(num_points=num_points, dims=3)
+        batch_loader = (
+            (lambda names: nbl.load(names, tmpdir)) if nbl.is_native else None
+        )
+        print(f"native batch loader: {nbl.is_native}", file=sys.stderr)
+
+        # Warm both compiled programs (embed at the padded batch shape;
+        # retrieval at the (db, q, 25) shape) out of the measurement.
+        warm = {i: database_sets[0][i] for i in range(batch_size)}
+        get_latent_vectors(
+            embed, variables, warm, loader, batch_size, batch_loader,
+            transfer_dtype="float16",
+        )
+        np.asarray(
+            knn_retrieve(
+                np.zeros((db_size, cfg.output_dim), np.float32),
+                np.zeros((q_size, cfg.output_dim), np.float32),
+                25,
+            )[0]
+        )
+
+        t0 = time.perf_counter()
+        db_vecs = [
+            get_latent_vectors(
+                embed, variables, s, loader, batch_size, batch_loader,
+                transfer_dtype="float16",
+            )
+            for s in database_sets
+        ]
+        q_vecs = [
+            get_latent_vectors(
+                embed, variables, s, loader, batch_size, batch_loader,
+                transfer_dtype="float16",
+            )
+            for s in query_sets
+        ]
+        t_embed = time.perf_counter() - t0
+
+        one_percents = []
+        t1 = time.perf_counter()
+        for m in range(num_runs):
+            for n in range(num_runs):
+                if m == n:
+                    continue
+                res = get_recall(db_vecs[m], q_vecs[n], tps, 25)
+                one_percents.append(res["one_percent_recall"])
+        t_retrieval = time.perf_counter() - t1
+
+        total_submaps = num_runs * (db_size + q_size)
+        total_queries = num_runs * (num_runs - 1) * q_size
+        embed_rate = total_submaps / t_embed
+        retrieval_rate = total_queries / t_retrieval
+        e2e_rate = total_submaps / (t_embed + t_retrieval)
+        print(
+            f"eval embed: {total_submaps} submaps in {t_embed:.2f}s "
+            f"({embed_rate:.1f}/s); retrieval: {total_queries} queries in "
+            f"{t_retrieval * 1e3:.1f}ms ({retrieval_rate:.0f}/s); "
+            f"end-to-end {e2e_rate:.1f} submaps/s",
+            file=sys.stderr,
+        )
+        return embed_rate, retrieval_rate, e2e_rate, total_submaps
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def main():
     import argparse
 
@@ -132,7 +252,7 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--mode", default="inference",
-                    choices=["inference", "train", "pointnetvlad"])
+                    choices=["inference", "train", "pointnetvlad", "eval"])
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -145,6 +265,22 @@ def main():
             "vs_baseline": round(best / 1000.0, 4),
             "detail": {"model": "pointnetvlad bf16 (STN + shared MLP + NetVLAD)",
                        "num_points": 4096, "best_batch": best_bs},
+        }))
+        return
+    if args.mode == "eval":
+        embed_rate, retrieval_rate, e2e_rate, total = bench_eval()
+        print(json.dumps({
+            "metric": "eval_submaps_per_sec_per_chip",
+            "value": round(e2e_rate, 2),
+            "unit": "submaps/s",
+            "vs_baseline": round(e2e_rate / 1000.0, 4),
+            "detail": {
+                "pipeline": "native .bin batch load + f16 wire + lpdnet bf16 "
+                            "embed + recall@25 retrieval (2 runs, 2048-db)",
+                "total_submaps": total,
+                "embed_submaps_per_sec": round(embed_rate, 1),
+                "retrieval_queries_per_sec": round(retrieval_rate, 1),
+            },
         }))
         return
     if args.mode == "train":

@@ -24,7 +24,7 @@ from lpdnet_tpu.data.synthetic import make_synthetic_dataset
 from lpdnet_tpu.eval.evaluate import evaluate_model, format_results, write_results
 from lpdnet_tpu.parallel.mesh import fitting_device_count, make_mesh
 from lpdnet_tpu.train.state import create_train_state
-from lpdnet_tpu.train.step import make_embed_fn
+from lpdnet_tpu.train.step import make_embed_fn, make_embed_many_fn
 from lpdnet_tpu.utils.checkpoint import CheckpointManager
 
 
@@ -142,6 +142,10 @@ def main():
         avail = cfg.mesh.num_devices or len(jax.devices())
         mesh = make_mesh(fitting_device_count(avail, cfg.eval.batch_size))
     embed = make_embed_fn(model, mesh=mesh)
+    embed_many = (
+        make_embed_many_fn(model, mesh=mesh)
+        if cfg.eval.sweep_chunk > 1 else None
+    )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.all_sets and not args.synthetic:
@@ -159,7 +163,9 @@ def main():
                 embed, variables,
                 get_sets_dict(db_path), get_sets_dict(q_path), loader,
                 batch_size=cfg.eval.batch_size, num_neighbors=cfg.eval.top_k,
-                batch_loader=batch_loader,
+                batch_loader=batch_loader, embed_many_fn=embed_many,
+                chunk=cfg.eval.sweep_chunk,
+                transfer_dtype=cfg.eval.transfer_dtype,
             )
             print(f"=== {ds_name} ===")
             print(format_results(results))
@@ -172,6 +178,9 @@ def main():
         embed, variables, database_sets, query_sets, loader,
         batch_size=cfg.eval.batch_size, num_neighbors=cfg.eval.top_k,
         batch_loader=None if args.synthetic else batch_loader,
+        embed_many_fn=embed_many,
+        chunk=cfg.eval.sweep_chunk,
+        transfer_dtype=cfg.eval.transfer_dtype,
     )
     print(format_results(results))
     write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")

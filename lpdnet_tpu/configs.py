@@ -183,6 +183,15 @@ class EvalConfig:
     batch_size: int = 64  # EVAL_BATCH_SIZE (descriptor extraction)
     top_k: int = 25  # recall@1..25 curve
     output_file: str = "results.txt"
+    # Wire format for descriptor-sweep uploads (eval + mining): 'float16'
+    # halves host->device transfer (the bottleneck on tunneled chips; this
+    # image uploads at ~38 MB/s) and is retrieval-neutral (descriptor
+    # cosine 0.999998 vs f32 — the cast back to f32 precedes all compute).
+    transfer_dtype: str = "float16"
+    # >1: chain this many batches per device dispatch via lax.scan
+    # (make_embed_many_fn) — pays only on hosts with fast DMA; 0/1 =
+    # per-batch dispatches with deep async pipelining (default).
+    sweep_chunk: int = 0
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from lpdnet_tpu.eval.recall import get_recall
-from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
+from lpdnet_tpu.utils.pipeline import pad_batch, sweep_embed
 
 
 def get_latent_vectors(
@@ -29,14 +29,23 @@ def get_latent_vectors(
     loader: Callable[[str], np.ndarray],
     batch_size: int = 64,
     batch_loader: Optional[Callable[[List[str]], np.ndarray]] = None,
+    embed_many_fn: Optional[Callable] = None,
+    chunk: int = 0,
+    transfer_dtype: str = "float32",
 ) -> np.ndarray:
     """Descriptors for one run's submaps, in index order (padded tail).
 
     ``batch_loader`` (e.g. the native C++ threaded reader,
     ``lpdnet_tpu.data.native_loader``) loads each file batch in parallel;
     without it, files load one by one through ``loader``.
+
+    ``embed_many_fn`` (from ``make_embed_many_fn``) with ``chunk`` > 1
+    chains that many batches per device dispatch (fast-DMA hosts only —
+    see ``EvalConfig.sweep_chunk``). ``transfer_dtype='float16'`` halves
+    upload volume; the embed fns cast back to f32 before any compute.
     """
     indices = sorted(entries.keys())
+    wire = np.dtype(transfer_dtype)
 
     def batches():
         for start in range(0, len(indices), batch_size):
@@ -46,9 +55,12 @@ def get_latent_vectors(
                 pts = batch_loader(names)
             else:
                 pts = np.stack([loader(n) for n in names])
-            yield pad_batch(pts, batch_size), len(ids)
+            yield pad_batch(pts, batch_size).astype(wire), len(ids)
 
-    return pipelined_embed(embed_fn, variables, batches())
+    nbatches = -(-len(indices) // batch_size)
+    return sweep_embed(
+        embed_fn, embed_many_fn, variables, batches(), nbatches, chunk
+    )
 
 
 def evaluate_model(
@@ -60,6 +72,9 @@ def evaluate_model(
     batch_size: int = 64,
     num_neighbors: int = 25,
     batch_loader: Optional[Callable[[List[str]], np.ndarray]] = None,
+    embed_many_fn: Optional[Callable] = None,
+    chunk: int = 0,
+    transfer_dtype: str = "float32",
 ) -> Dict[str, object]:
     """Run the full benchmark; returns averaged metrics.
 
@@ -69,13 +84,15 @@ def evaluate_model(
     """
     database_vectors = [
         get_latent_vectors(
-            embed_fn, variables, s, loader, batch_size, batch_loader
+            embed_fn, variables, s, loader, batch_size, batch_loader,
+            embed_many_fn, chunk, transfer_dtype,
         )
         for s in database_sets
     ]
     query_vectors = [
         get_latent_vectors(
-            embed_fn, variables, s, loader, batch_size, batch_loader
+            embed_fn, variables, s, loader, batch_size, batch_loader,
+            embed_many_fn, chunk, transfer_dtype,
         )
         for s in query_sets
     ]

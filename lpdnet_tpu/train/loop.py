@@ -12,9 +12,7 @@ Checkpoints via Orbax per epoch; metrics as JSONL; optional per-epoch eval.
 from __future__ import annotations
 
 import dataclasses
-import queue
-import threading
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -27,36 +25,12 @@ from lpdnet_tpu.parallel.mesh import (
 )
 from lpdnet_tpu.train.mining import DescriptorCache
 from lpdnet_tpu.train.state import create_train_state
-from lpdnet_tpu.train.step import make_embed_fn, make_train_step
+from lpdnet_tpu.train.step import (
+    make_embed_fn, make_embed_many_fn, make_train_step,
+)
 from lpdnet_tpu.utils.checkpoint import CheckpointManager, save_config
 from lpdnet_tpu.utils.logging import MetricsLogger
-
-
-def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
-    """Run the (host-side NumPy) batch-assembly iterator in a background
-    thread so tuple building/augmentation overlaps the device step — the
-    reference assembles tuples synchronously inside its hot loop (SURVEY
-    §3.1 "CPU HOT SPOT"). Exceptions propagate to the consumer."""
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    _END = object()
-
-    def worker():
-        try:
-            for item in it:
-                q.put(item)
-            q.put(_END)
-        except BaseException as e:  # noqa: BLE001 - relay to consumer
-            q.put(e)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+from lpdnet_tpu.utils.pipeline import prefetch_iterator
 
 
 @dataclasses.dataclass
@@ -117,6 +91,12 @@ def train(
         model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis
     )
     embed_fn = make_embed_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
+    # Scan-chunked sweep variant: opt-in for fast-DMA hosts
+    # (EvalConfig.sweep_chunk > 1); per-batch pipelining otherwise.
+    embed_many_fn = (
+        make_embed_many_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
+        if cfg.eval.sweep_chunk > 1 else None
+    )
 
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
@@ -146,7 +126,11 @@ def train(
         )
         use_hard = epoch >= mining.warmup_epochs
         if use_hard and not cache.ready:
-            cache.refresh(embed_fn, model_vars(state))
+            cache.refresh(
+                embed_fn, model_vars(state), embed_many_fn=embed_many_fn,
+                chunk=cfg.eval.sweep_chunk,
+                transfer_dtype=cfg.eval.transfer_dtype,
+            )
             logger.log("mining_cache_refresh", epoch=epoch, queries=0)
 
         def hard_fn(idx: int):
@@ -162,7 +146,10 @@ def train(
         losses = []
         queries_done = 0
         next_refresh = mining.cache_refresh_queries
-        batches = _prefetch(
+        # Tuple building/augmentation overlaps the device step — the
+        # reference assembles tuples synchronously inside its hot loop
+        # (SURVEY §3.1 "CPU HOT SPOT").
+        batches = prefetch_iterator(
             res.sampler.epoch_batches(
                 global_batch,
                 rng_np,
@@ -181,7 +168,12 @@ def train(
             losses.append(loss)
             queries_done += len(ids)
             if use_hard and queries_done >= next_refresh:
-                cache.refresh(embed_fn, model_vars(state))
+                cache.refresh(
+                    embed_fn, model_vars(state),
+                    embed_many_fn=embed_many_fn,
+                    chunk=cfg.eval.sweep_chunk,
+                    transfer_dtype=cfg.eval.transfer_dtype,
+                )
                 next_refresh += mining.cache_refresh_queries
                 logger.log(
                     "mining_cache_refresh", epoch=epoch, queries=queries_done
@@ -208,6 +200,9 @@ def train(
                 res.loader,
                 batch_size=cfg.eval.batch_size,
                 num_neighbors=cfg.eval.top_k,
+                embed_many_fn=embed_many_fn,
+                chunk=cfg.eval.sweep_chunk,
+                transfer_dtype=cfg.eval.transfer_dtype,
             )
             logger.log(
                 "eval",

@@ -20,7 +20,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from lpdnet_tpu.data.tuples import TupleSampler
-from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
+from lpdnet_tpu.utils.pipeline import pad_batch, sweep_embed
 
 
 class DescriptorCache:
@@ -34,21 +34,34 @@ class DescriptorCache:
             idx: row for row, idx in enumerate(sampler.all_indices)
         }
 
-    def refresh(self, embed_fn: Callable, variables) -> np.ndarray:
+    def refresh(
+        self,
+        embed_fn: Callable,
+        variables,
+        embed_many_fn: Optional[Callable] = None,
+        chunk: int = 0,
+        transfer_dtype: str = "float32",
+    ) -> np.ndarray:
         """Recompute descriptors for every training query (the reference's
         full-dataset forward sweep, batched + padded to a fixed shape so the
         jitted embed function compiles once). Uses the sampler's in-memory
-        cloud cache; cold reads go through its loader."""
+        cloud cache; cold reads go through its loader. ``embed_many_fn``
+        with ``chunk`` > 1 chains batches per dispatch (fast-DMA hosts);
+        ``transfer_dtype='float16'`` halves the upload volume."""
         indices = self.sampler.all_indices
         bs = self.batch_size
+        wire = np.dtype(transfer_dtype)
 
         def batches():
             for start in range(0, len(indices), bs):
                 ids = indices[start : start + bs]
                 pts = np.stack([self.sampler.load(i) for i in ids])
-                yield pad_batch(pts, bs), len(ids)
+                yield pad_batch(pts, bs).astype(wire), len(ids)
 
-        self.vectors = pipelined_embed(embed_fn, variables, batches())
+        nbatches = -(-len(indices) // bs)
+        self.vectors = sweep_embed(
+            embed_fn, embed_many_fn, variables, batches(), nbatches, chunk
+        )
         return self.vectors
 
     @property

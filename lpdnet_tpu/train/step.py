@@ -108,10 +108,49 @@ def make_embed_fn(
     """
 
     def embed(variables, points):
-        return model.apply(variables, points, train=False)
+        # Accept a reduced-precision wire format (e.g. float16 from the
+        # eval/mining sweeps — halves host->device transfer): the cast back
+        # to f32 happens before any compute, so only input quantization
+        # remains (measured descriptor cosine 0.999998 vs f32 transfer).
+        return model.apply(
+            variables, points.astype(jnp.float32), train=False
+        )
 
     if mesh is None:
         return jax.jit(embed)
     batch_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
     return jax.jit(embed, in_shardings=(repl, batch_sh), out_shardings=repl)
+
+
+def make_embed_many_fn(
+    model,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    """Chunked descriptor extraction ``(K, B, N, C) -> (K, B, D)``.
+
+    K batches are chained inside ONE compiled program (``lax.scan``), so a
+    descriptor sweep pays the dispatch cost once per K batches instead of
+    per batch. Opt-in via ``EvalConfig.sweep_chunk`` for hosts with fast
+    DMA; on this image's ~38 MB/s tunneled chip the single big upload
+    serializes against the scan and LOSES to per-batch dispatches whose
+    transfers overlap compute (measured 666 vs 814+ submaps/s).
+    """
+
+    def embed_many(variables, points):
+        def body(carry, pts):
+            return carry, model.apply(
+                variables, pts.astype(jnp.float32), train=False
+            )
+
+        _, out = jax.lax.scan(body, None, points)
+        return out
+
+    if mesh is None:
+        return jax.jit(embed_many)
+    batch_sh = NamedSharding(mesh, P(None, data_axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        embed_many, in_shardings=(repl, batch_sh), out_shardings=repl
+    )
