@@ -75,6 +75,10 @@ class ModelConfig:
     use_feature_transform: bool = False  # 64x64 feature alignment (off in ref)
     # LPD trunk (SURVEY C11): DGCNN-style edge convs on two graphs.
     graph_k: int = 20
+    # EdgeConv BN placement: 'post' (after max aggregation, the TPU-fast
+    # default — the edge tensor never reaches HBM) or 'edge' (per-edge
+    # conv-BN-relu-max, the reference's literal placement).
+    edge_bn_placement: str = "post"
     # NetVLAD head (SURVEY C12)
     num_clusters: int = 64
     add_batch_norm: bool = True  # BN (vs bias) on the soft-assignment logits

@@ -63,6 +63,7 @@ class DescriptorNet(nn.Module):
                 k=cfg.graph_k,
                 knn_block=cfg.features.knn_block,
                 dtype=dtype,
+                edge_bn_placement=cfg.edge_bn_placement,
                 pallas_gather=use_pallas,
                 recall_target=cfg.features.recall_target,
                 exact_knn=cfg.exact_knn,

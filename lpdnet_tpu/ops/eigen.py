@@ -104,7 +104,9 @@ def smallest_eigvec_sym3x3(
     Args:
       a: (..., 3, 3) symmetric matrices.
       lam_min: (...,) smallest eigenvalue (from ``eigvals_sym3x3``).
-      eps: fallback threshold on the squared cross-product norm.
+      eps: fallback threshold on the squared cross-product norm of the
+        SCALE-NORMALIZED matrix (scale-invariant: a covariance and any
+        positive multiple of it hit the fallback identically).
 
     Returns:
       (..., 3) unit vectors.
@@ -112,6 +114,13 @@ def smallest_eigvec_sym3x3(
     a = a.astype(jnp.float32)
     eye = jnp.eye(3, dtype=a.dtype)
     m = a - lam_min[..., None, None] * eye
+    # Normalize by the matrix magnitude BEFORE the cross products: raw
+    # cross norms scale as |A|^4, so for normalized submaps (cov entries
+    # ~1e-3, norms^2 ~1e-12..1e-14) an absolute eps threshold misread
+    # well-conditioned neighborhoods as degenerate and zeroed the
+    # verticality feature (round-2 full-scale parity finding).
+    scale = jnp.max(jnp.abs(m), axis=(-1, -2), keepdims=True)
+    m = m / jnp.maximum(scale, 1e-30)
     r0 = m[..., 0, :]
     r1 = m[..., 1, :]
     r2 = m[..., 2, :]
