@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--exact_knn", action="store_true",
                    help="exact top_k selection (fidelity audit; slow)")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="import a reference torch checkpoint (state_dict "
+                        "or {'epoch','state_dict','optimizer'} wrapper) "
+                        "instead of an Orbax checkpoint")
     p.add_argument(
         "--all_sets", action="store_true",
         help="evaluate all four benchmark sets (oxford + university + "
@@ -126,15 +130,26 @@ def main():
     model, state = create_train_state(
         cfg.model, cfg.train, jax.random.key(0)
     )
-    ckpt_dir = f"{cfg.train.log_dir}/checkpoints"
-    if os.path.isdir(ckpt_dir):
-        mgr = CheckpointManager(ckpt_dir)
-        if mgr.latest_epoch() is not None:
-            state, epoch = mgr.restore(state)
-            print(f"restored checkpoint from epoch {epoch}")
-        mgr.close()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.torch_checkpoint:
+        from lpdnet_tpu.utils.import_torch import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
+        print(f"imported torch checkpoint {args.torch_checkpoint}")
     else:
-        print("warning: no checkpoint found; evaluating random init")
+        ckpt_dir = f"{cfg.train.log_dir}/checkpoints"
+        if os.path.isdir(ckpt_dir):
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_epoch() is not None:
+                state, epoch = mgr.restore(state)
+                print(f"restored checkpoint from epoch {epoch}")
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+            mgr.close()
+        else:
+            print("warning: no checkpoint found; evaluating random init")
 
     mesh = None
     if not args.no_mesh:
@@ -146,7 +161,6 @@ def main():
         make_embed_many_fn(model, mesh=mesh)
         if cfg.eval.sweep_chunk > 1 else None
     )
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.all_sets and not args.synthetic:
         for ds_name in ["oxford", "university", "residential", "business"]:
