@@ -169,6 +169,11 @@ class TrainConfig:
     # Evaluate + checkpoint cadence (reference: per epoch).
     eval_every_epochs: int = 1
     checkpoint_every_epochs: int = 1
+    # >0: ALSO async-checkpoint every N steps, carrying the exact position
+    # (epoch, next batch, queries done) and the mining cache, so a crash
+    # mid-epoch resumes at the exact step (SURVEY §5 failure-recovery row).
+    # 0 = epoch-granular only.
+    checkpoint_every_steps: int = 0
     keep_checkpoints: int = 3
     loss: LossConfig = field(default_factory=LossConfig)
     mining: MiningConfig = field(default_factory=MiningConfig)

@@ -168,24 +168,46 @@ class TupleSampler:
             }
         return batch
 
+    def num_epoch_batches(self, batch_size: int) -> int:
+        eligible = sum(
+            1 for i in self.all_indices if self.has_enough_positives(i)
+        )
+        return eligible // batch_size
+
     def epoch_batches(
         self,
         batch_size: int,
         rng: np.random.RandomState,
-        hard_negs_fn: Optional[Callable[[int], Sequence[int]]] = None,
+        hard_negs_fn: Optional[
+            Callable[[int, np.random.RandomState], Sequence[int]]
+        ] = None,
+        start_batch: int = 0,
+        batch_rng_fn: Optional[Callable[[int], np.random.RandomState]] = None,
         **collate_kwargs,
     ) -> Iterator[Tuple[List[int], Dict[str, np.ndarray]]]:
         """Shuffled epoch iterator (reference ``train_one_epoch`` order:
         shuffle indices, skip queries with too few positives, drop the
-        ragged tail batch)."""
+        ragged tail batch).
+
+        ``batch_rng_fn(batch_index) -> RandomState`` makes every batch's
+        randomness (positive/negative sampling, augmentation draws)
+        self-contained: with it, ``start_batch`` skips the first batches of
+        the epoch WITHOUT perturbing the random stream of the rest — the
+        basis for exact mid-epoch resume. Without it, all batches draw from
+        the shared epoch ``rng`` (skipping would shift the stream).
+        """
         order = [i for i in self.all_indices if self.has_enough_positives(i)]
         rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
+        starts = range(0, len(order) - batch_size + 1, batch_size)
+        for bi, start in enumerate(starts):
+            if bi < start_batch:
+                continue
+            brng = batch_rng_fn(bi) if batch_rng_fn else rng
             ids = order[start : start + batch_size]
             tuples = [
                 self.make_tuple(
-                    i, rng, hard_negs_fn(i) if hard_negs_fn else ()
+                    i, brng, hard_negs_fn(i, brng) if hard_negs_fn else ()
                 )
                 for i in ids
             ]
-            yield ids, self.collate(tuples, rng=rng, **collate_kwargs)
+            yield ids, self.collate(tuples, rng=brng, **collate_kwargs)

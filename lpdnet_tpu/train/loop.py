@@ -101,11 +101,18 @@ def train(
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
     )
-    start_epoch = 0
-    if tc.resume and ckpt.latest_epoch() is not None:
-        state, start_epoch = ckpt.restore(state)
-        start_epoch += 1
-        logger.log("resume", epoch=start_epoch)
+    start_epoch, start_batch, resumed_queries = 0, 0, 0
+    resume_extra = None
+    if tc.resume and ckpt.latest_key() is not None:
+        state, saved_epoch = ckpt.restore(state)
+        resume_extra = ckpt.load_extra(ckpt.latest_key())
+        if resume_extra is not None:
+            start_epoch = int(resume_extra["epoch"])
+            start_batch = int(resume_extra["next_batch"])
+            resumed_queries = int(resume_extra["queries_done"])
+        else:  # legacy epoch-keyed checkpoint without a position sidecar
+            start_epoch = saved_epoch + 1
+        logger.log("resume", epoch=start_epoch, batch=start_batch)
 
     if mesh is not None:
         state = replicate(state, mesh)
@@ -113,39 +120,67 @@ def train(
     cache = DescriptorCache(res.sampler, batch_size=cfg.eval.batch_size)
     mining = tc.mining
     results: Dict[str, object] = {}
+    if resume_extra is not None and int(resume_extra.get("mining_valid", 0)):
+        cache.vectors = np.asarray(
+            resume_extra["mining_vectors"], np.float32
+        )
 
     def model_vars(s):
         return {"params": s.params, "batch_stats": s.batch_stats}
 
+    def refresh_cache(epoch, queries):
+        cache.refresh(
+            embed_fn, model_vars(state), embed_many_fn=embed_many_fn,
+            chunk=cfg.eval.sweep_chunk,
+            transfer_dtype=cfg.eval.transfer_dtype,
+        )
+        logger.log("mining_cache_refresh", epoch=epoch, queries=queries)
+
+    def checkpoint_extra(epoch, next_batch, queries_done):
+        return {
+            "epoch": epoch,
+            "next_batch": next_batch,
+            "queries_done": queries_done,
+            "mining_valid": int(cache.ready),
+            "mining_vectors": (
+                cache.vectors if cache.ready
+                else np.zeros((0, 0), np.float32)
+            ),
+        }
+
+    saved_keys: set = set()
     for epoch in range(start_epoch, tc.max_epoch):
-        # Deterministic data order keyed by (seed, epoch): resuming from a
-        # checkpoint replays the exact remaining schedule (SURVEY §5
-        # failure-recovery row).
+        # Deterministic data order keyed by (seed, epoch), and per-batch
+        # randomness keyed by (seed, epoch, batch index): resuming from a
+        # mid-epoch checkpoint replays the exact remaining schedule without
+        # replaying the consumed random draws (SURVEY §5 failure-recovery).
         rng_np = np.random.RandomState(
             (tc.seed * 1_000_003 + epoch) % (2**31 - 1)
         )
+
+        def batch_rng(bi, _epoch=epoch):
+            ss = np.random.SeedSequence([tc.seed, _epoch, bi])
+            return np.random.RandomState(ss.generate_state(2))
+
         use_hard = epoch >= mining.warmup_epochs
         if use_hard and not cache.ready:
-            cache.refresh(
-                embed_fn, model_vars(state), embed_many_fn=embed_many_fn,
-                chunk=cfg.eval.sweep_chunk,
-                transfer_dtype=cfg.eval.transfer_dtype,
-            )
-            logger.log("mining_cache_refresh", epoch=epoch, queries=0)
+            refresh_cache(epoch, 0)
 
-        def hard_fn(idx: int):
+        def hard_fn(idx: int, rng: np.random.RandomState):
             if not (use_hard and cache.ready):
                 return ()
             return cache.hard_negatives(
                 idx,
                 mining.hard_negatives_per_query,
-                rng_np,
+                rng,
                 sampled_pool=mining.sampled_negatives,
             )
 
         losses = []
-        queries_done = 0
-        next_refresh = mining.cache_refresh_queries
+        epoch_start_batch = start_batch if epoch == start_epoch else 0
+        queries_done = resumed_queries if epoch == start_epoch else 0
+        cadence = mining.cache_refresh_queries
+        next_refresh = (queries_done // cadence + 1) * cadence
         # Tuple building/augmentation overlaps the device step — the
         # reference assembles tuples synchronously inside its hot loop
         # (SURVEY §3.1 "CPU HOT SPOT").
@@ -154,6 +189,8 @@ def train(
                 global_batch,
                 rng_np,
                 hard_negs_fn=hard_fn if use_hard else None,
+                start_batch=epoch_start_batch,
+                batch_rng_fn=batch_rng,
                 rotate=cfg.data.augment_rotate,
                 jitter=cfg.data.augment_jitter,
                 rotation_max_deg=cfg.data.rotation_max_deg,
@@ -161,22 +198,30 @@ def train(
                 jitter_clip=cfg.data.jitter_clip,
             )
         )
-        for ids, batch in batches:
+        for off, (ids, batch) in enumerate(batches):
+            bi = epoch_start_batch + off
             if mesh is not None:
                 batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
             state, loss = train_step(state, batch)
             losses.append(loss)
             queries_done += len(ids)
             if use_hard and queries_done >= next_refresh:
-                cache.refresh(
-                    embed_fn, model_vars(state),
-                    embed_many_fn=embed_many_fn,
-                    chunk=cfg.eval.sweep_chunk,
-                    transfer_dtype=cfg.eval.transfer_dtype,
+                refresh_cache(epoch, queries_done)
+                next_refresh += cadence
+            if tc.checkpoint_every_steps and (
+                (bi + 1) % tc.checkpoint_every_steps == 0
+            ):
+                # Async mid-epoch save carrying the exact resume position
+                # (device_get syncs this step's state to host first).
+                saved = jax.device_get(state)
+                key = int(saved.step)
+                ckpt.save(
+                    key, saved, epoch=epoch,
+                    extra=checkpoint_extra(epoch, bi + 1, queries_done),
                 )
-                next_refresh += mining.cache_refresh_queries
+                saved_keys.add(key)
                 logger.log(
-                    "mining_cache_refresh", epoch=epoch, queries=queries_done
+                    "checkpoint", step=key, epoch=epoch, batch=bi + 1,
                 )
 
         epoch_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
@@ -184,9 +229,17 @@ def train(
             "epoch", epoch=epoch, loss=epoch_loss,
             steps=len(losses), queries=queries_done,
         )
-
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:
-            ckpt.save(epoch, jax.device_get(state))
+            saved = jax.device_get(state)
+            key = int(saved.step)
+            extra = checkpoint_extra(epoch + 1, 0, 0)
+            if key in saved_keys:
+                # The last step save was this exact state: advance only the
+                # resume position (re-saving the key would collide).
+                ckpt.save_extra_only(key, extra)
+            else:
+                ckpt.save(key, saved, epoch=epoch, extra=extra)
+                saved_keys.add(key)
 
         if (
             res.database_sets is not None

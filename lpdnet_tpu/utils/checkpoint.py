@@ -58,6 +58,12 @@ def load_config(log_dir: str):
 
 
 class CheckpointManager:
+    """Orbax-backed manager. Saves are ASYNC (a background thread writes
+    while training continues; Orbax registers a key only once the write
+    completes, so a crash mid-write falls back to the previous complete
+    checkpoint). Keys are arbitrary monotone ints — the loop uses the
+    global step, so epoch-end and mid-epoch saves share one sequence."""
+
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -68,7 +74,26 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, epoch: int, state: TrainState, wait: bool = False) -> None:
+    def save(
+        self,
+        key: int,
+        state: TrainState,
+        epoch: int = 0,
+        extra: Optional[dict] = None,
+        wait: bool = False,
+    ) -> None:
+        """``extra``: arrays/scalars carried alongside the state (resume
+        position, mining cache). Written synchronously as an ``.npz``
+        sidecar BEFORE the async Orbax save is triggered, so any key Orbax
+        registers as complete has its sidecar on disk; the Orbax payload
+        keeps a fixed structure (evaluate/tests restore without knowing
+        extra shapes)."""
+        key = int(key)
+        if extra is not None:
+            import numpy as _np
+
+            _np.savez(self._extra_path(key), **extra)
+            self._prune_extras()
         payload = {
             "state": {
                 "step": state.step,
@@ -78,14 +103,52 @@ class CheckpointManager:
             },
             "epoch": epoch,
         }
-        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        try:
+            self._mgr.save(key, args=ocp.args.StandardSave(payload))
+        except Exception as e:  # key already on disk (e.g. degenerate
+            if "exist" not in str(e).lower():  # resume): state is identical,
+                raise  # the sidecar above already advanced the position.
         if wait:
             self._mgr.wait_until_finished()
 
-    def latest_epoch(self) -> Optional[int]:
+    def _extra_path(self, key: int) -> str:
+        return os.path.join(self.directory, f"resume_{int(key):010d}.npz")
+
+    def _prune_extras(self, keep: int = 5) -> None:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(self.directory, "resume_*.npz")))
+        for f in files[:-keep]:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    def save_extra_only(self, key: int, extra: dict) -> None:
+        """Overwrite just the position sidecar of an already-saved key
+        (e.g. a step save landing on the epoch boundary: the state is
+        identical, only the resume position advances)."""
+        import numpy as _np
+
+        _np.savez(self._extra_path(int(key)), **extra)
+
+    def load_extra(self, key: int) -> Optional[dict]:
+        """The sidecar saved with ``key``, or None (e.g. pruned/legacy)."""
+        import numpy as _np
+
+        path = self._extra_path(key)
+        if not os.path.isfile(path):
+            return None
+        with _np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    def latest_key(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState, epoch: Optional[int] = None
+    # Back-compat name (keys were epochs before step-level checkpointing).
+    latest_epoch = latest_key
+
+    def restore(self, state: TrainState, key: Optional[int] = None
                 ) -> Tuple[TrainState, int]:
         """Restore into the structure of ``state``; returns (state, epoch)."""
         target = {
@@ -97,11 +160,11 @@ class CheckpointManager:
             },
             "epoch": 0,
         }
-        epoch = epoch if epoch is not None else self._mgr.latest_step()
-        if epoch is None:
+        key = key if key is not None else self._mgr.latest_step()
+        if key is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         restored = self._mgr.restore(
-            epoch, args=ocp.args.StandardRestore(target)
+            key, args=ocp.args.StandardRestore(target)
         )
         s = restored["state"]
         new_state = state.replace(

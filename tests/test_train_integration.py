@@ -81,7 +81,7 @@ def test_train_step_decreases_loss(dataset):
 
 
 def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
-    cfg = tiny_config(tmp_path, epochs=10, warmup=2)
+    cfg = tiny_config(tmp_path, epochs=14, warmup=2)
     res = TrainResources(
         sampler=TupleSampler(
             dataset.queries, dataset.loader,
