@@ -87,8 +87,11 @@ class TupleSampler:
         )
 
         negs: List[int] = [h for h in hard_negs[: self.num_neg]]
+        # Negative pools may be python lists (reference pickles) or int
+        # arrays (Oxford-scale worlds: 21.7k x thousands of indices cost
+        # ~5 GB as lists of ints, ~350 MB as int32 arrays).
         neg_pool = entry["negatives"]
-        if not neg_pool and not negs:
+        if len(neg_pool) == 0 and not negs:
             raise ValueError(f"query {idx} has no negatives")
         if len(negs) < self.num_neg:
             # Random fill, avoiding duplicates with the hard picks. Dense
