@@ -29,6 +29,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SLAB = 16  # aligned sublane window (bf16 native tile height)
+# The backward works on f32 (the accumulator must be f32 anyway, and
+# Mosaic's i1-relayout limitation forces f32 compare/select), whose native
+# sublane tile is 8: an 8-row slab halves the per-edge masking work and
+# read-modify-write traffic vs the bf16 16-row slab.
+SLAB_BWD = 8
 
 
 def _edge_max_kernel(base_ref, off_ref, feat_ref, out_ref):
@@ -66,13 +71,18 @@ def _edge_max_kernel(base_ref, off_ref, feat_ref, out_ref):
 
 
 def _edge_max_bwd_kernel(
-    base_ref, off_ref, dout_ref, out_ref, feat_ref, dfeat_ref
+    base_ref, off_ref, dout_ref, out_ref, feat_ref, dfeat_ref, *accs
 ):
     # base/off:  (1, TILE_M, K) int32 SMEM — slab-aligned neighbour rows
     # dout_ref:  (1, TILE_M, C) cotangent of the aggregated output
     # out_ref:   (1, TILE_M, C) forward output (the per-row channel maxima)
     # feat_ref:  (1, N, C) forward input features
-    # dfeat_ref: (1, N, C) accumulated cotangent (revisited across tiles)
+    # dfeat_ref: (1, N, C) final cotangent (written once at the last tile)
+    # accs:      VMEM scratch accumulators, (N, C) f32 each. Edges rotate
+    #   over them by j-parity: the serializing store->load dependency of a
+    #   single accumulator's read-modify-write per edge splits into nbuf
+    #   independent chains (measured 28 -> 11 ms at C=64 with 5). Scratch
+    #   persists across the sequential grid; the last tile folds them.
     #
     # dfeat[n, c] += sum over edges (m, j) with idx=n of
     #   dout[m, c] * [feat[n, c] == out[m, c]]
@@ -80,15 +90,16 @@ def _edge_max_bwd_kernel(
     # zero for continuous activations; documented deviation from jnp.max's
     # tie-splitting VJP).
     tile_m, k = base_ref.shape[1], base_ref.shape[2]
-    c = feat_ref.shape[2]
+    n, c = feat_ref.shape[1], feat_ref.shape[2]
     dtype = dfeat_ref.dtype
+    nbuf = len(accs)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        dfeat_ref[0] = jnp.zeros((feat_ref.shape[1], c), dtype)
+        for a in accs:
+            a[...] = jnp.zeros((n, c), dtype)
 
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB_BWD, 1), 0)
     blk = 8  # aligned read granularity for dout/out rows
 
     def blk_body(bi, _):
@@ -102,26 +113,35 @@ def _edge_max_bwd_kernel(
             # All compare/select math in f32: a bf16 eq yields an i1 mask in
             # 16-sublane packed layout that Mosaic cannot relayout for an
             # f32-operand select ("invalid relayout ... vector<16x128xi1>").
-            # bf16 -> f32 is exact, so equality is preserved. Broadcasts are
-            # materialized arithmetically (broadcast_to keeps a replicated
-            # layout with the same relayout problem).
-            zeros = jnp.zeros((SLAB, c), dtype)
+            # bf16 -> f32 is exact, so equality is preserved (the caller
+            # passes f32 features). Broadcasts are materialized
+            # arithmetically (broadcast_to keeps a replicated layout with
+            # the same relayout problem).
+            zeros = jnp.zeros((SLAB_BWD, c), dtype)
             out_b = zeros + out_m.astype(dtype)
             dout_b = zeros + dout_m.astype(dtype)
             neg_inf = jnp.asarray(-jnp.inf, dtype)
             for j in range(k):
-                nbase = pl.multiple_of(base_ref[0, m, j], SLAB)
-                sel = row_iota == off_ref[0, m, j]  # (SLAB, 1)
-                slab = feat_ref[0, pl.ds(nbase, SLAB), :].astype(dtype)
+                acc_ref = accs[j % nbuf]
+                nbase = pl.multiple_of(base_ref[0, m, j], SLAB_BWD)
+                sel = row_iota == off_ref[0, m, j]  # (SLAB_BWD, 1)
+                slab = feat_ref[0, pl.ds(nbase, SLAB_BWD), :]
                 # where(sel, slab, -inf) folds the row-select into the
                 # value compare.
-                cand = jnp.where(sel, slab, neg_inf)  # (SLAB, C)
+                cand = jnp.where(sel, slab, neg_inf)  # (SLAB_BWD, C)
                 contrib = jnp.where(cand == out_b, dout_b, zeros)
-                acc = dfeat_ref[0, pl.ds(nbase, SLAB), :]
-                dfeat_ref[0, pl.ds(nbase, SLAB), :] = acc + contrib
+                acc = acc_ref[pl.ds(nbase, SLAB_BWD), :]
+                acc_ref[pl.ds(nbase, SLAB_BWD), :] = acc + contrib
         return 0
 
     jax.lax.fori_loop(0, tile_m // blk, blk_body, 0, unroll=False)
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        total = accs[0][...]
+        for a in accs[1:]:
+            total = total + a[...]
+        dfeat_ref[0] = total
 
 
 @partial(jax.jit, static_argnames=("tile_m", "interpret"))
@@ -146,9 +166,19 @@ def _edge_max_bwd(
         m += pad
 
     idx = idx.astype(jnp.int32)
-    base = (idx // SLAB) * SLAB
+    base = (idx // SLAB_BWD) * SLAB_BWD
     off = idx - base
     grid = (b, m // tile_m)
+    # f32 feature/output/cotangent views: exact (bf16 -> f32), and the f32
+    # sublane tile is 8, halving the per-edge slab work (see SLAB_BWD).
+    features = features.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    dout = dout.astype(jnp.float32)
+    # Accumulator count: as many independent RMW chains as a ~6 MB VMEM
+    # scratch budget allows (larger allocations fail to compile on v5e at
+    # these block sizes), capped at 5 — the measured knee of the chain-
+    # splitting speedup at C=64.
+    nbuf = max(1, min(5, (6 * 2**20) // (n * c * 4)))
     return pl.pallas_call(
         _edge_max_bwd_kernel,
         grid=grid,
@@ -171,6 +201,9 @@ def _edge_max_bwd(
         # fp32 accumulator regardless of activation dtype: a point can
         # receive many small contributions.
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32) for _ in range(nbuf)
+        ],
         interpret=interpret,
     )(base, off, dout, out, features)
 

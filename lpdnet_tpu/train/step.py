@@ -25,6 +25,16 @@ from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.train.state import TrainState
 
 
+def _tpu_compiler_options() -> Optional[Dict[str, Any]]:
+    """Raise the scoped-VMEM ceiling on TPU backends: the multi-accumulator
+    eq-mask scatter kernel (ops/pallas/edge_gather.py) allocates ~18 MB of
+    scoped VMEM at C=64, above the 16 MB default; the option is TPU-only,
+    so CPU test runs must not pass it."""
+    if jax.default_backend() == "cpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": 32768}
+
+
 def _flatten_tuples(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, int, int]:
     """(B,*,N,C) tuple dict -> one (B*(1+P+M+1), N, C) stack."""
     q = batch["query"][:, None]  # (B, 1, N, C)
@@ -75,8 +85,12 @@ def make_train_step(
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return new_state, loss
 
+    opts = _tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return jax.jit(
+            step, donate_argnums=(0,) if donate else (),
+            compiler_options=opts,
+        )
 
     batch_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
@@ -91,6 +105,7 @@ def make_train_step(
         in_shardings=(repl, batch_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=opts,
     )
 
 
