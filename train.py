@@ -58,6 +58,8 @@ def parse_args():
                    help="activation/matmul compute dtype")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics as tensorboard scalars (log_dir/tb)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic clustered dataset (smoke)")
     p.add_argument("--synthetic_scale", default="small",
@@ -179,7 +181,7 @@ def main():
             query_sets=q_sets,
         )
 
-    logger = MetricsLogger(cfg.train.log_dir)
+    logger = MetricsLogger(cfg.train.log_dir, tensorboard=args.tensorboard)
     out = train(cfg, res, use_mesh=not args.no_mesh, logger=logger)
     if out["eval"]:
         print(
