@@ -211,6 +211,13 @@ class MeshConfig:
     data_axis: str = "data"
     # None -> use all visible devices on the data axis.
     num_devices: Optional[int] = None
+    # Tensor parallelism (parallel/tp.py): with model_devices > 1 the loop
+    # builds a 2-D (data, model) mesh — the NetVLAD head (the parameter bulk:
+    # hidden1 is K*D x output_dim) shards Megatron-style over the model axis,
+    # the batch over the data axis (num_devices / model_devices wide).
+    # num_clusters must be divisible by model_devices.
+    model_axis: str = "model"
+    model_devices: int = 1
     # How the train batch relates to the mesh:
     #   'per_device': each device carries batch_num_queries queries — the
     #     global batch scales with the mesh (what nn.DataParallel gives each

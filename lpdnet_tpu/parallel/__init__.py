@@ -1,5 +1,12 @@
 """Device-mesh parallelism (replaces the reference's ``nn.DataParallel``
-scatter/gather — SURVEY C20/C21 — with XLA collectives over ICI)."""
+scatter/gather — SURVEY C20/C21 — with XLA collectives over ICI/DCN).
+
+Three paths, one step program:
+  * GSPMD data parallel (``train/step.py``) — 1-D mesh, batch-sharded;
+  * explicit-collective DDP (``ddp.py``) — shard_map + pmean, per-replica BN;
+  * tensor-parallel head (``tp.py``) — 2-D (data, model) mesh, Megatron-style
+    NetVLAD sharding via parameter shardings only.
+"""
 
 from lpdnet_tpu.parallel.mesh import (
     make_mesh,
@@ -8,6 +15,14 @@ from lpdnet_tpu.parallel.mesh import (
     batch_sharding,
 )
 from lpdnet_tpu.parallel.ddp import make_ddp_train_step
+from lpdnet_tpu.parallel.tp import (
+    make_mesh_2d,
+    make_multislice_mesh,
+    make_tp_train_step,
+    make_tp_embed_fn,
+    shard_state,
+    partition_specs,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,4 +30,10 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "make_ddp_train_step",
+    "make_mesh_2d",
+    "make_multislice_mesh",
+    "make_tp_train_step",
+    "make_tp_embed_fn",
+    "shard_state",
+    "partition_specs",
 ]

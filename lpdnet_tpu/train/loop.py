@@ -56,13 +56,19 @@ def train(
 
     mesh = None
     global_batch = tc.batch_num_queries
+    mp = cfg.mesh.model_devices if use_mesh else 1
     if use_mesh:
         avail = cfg.mesh.num_devices or len(jax.devices())
+        avail_data = avail // mp
+        if avail_data < 1:
+            raise ValueError(
+                f"model_devices={mp} exceeds available devices ({avail})"
+            )
         if cfg.mesh.batch_scaling == "per_device":
-            # Each device carries batch_num_queries queries: the global
-            # batch scales with the mesh and no chip idles. The mesh must
-            # still divide the eval/mining embed batch.
-            ndev = fitting_device_count(avail, cfg.eval.batch_size)
+            # Each data-axis device group carries batch_num_queries
+            # queries: the global batch scales with the mesh and no chip
+            # idles. The mesh must still divide the eval/mining embed batch.
+            ndev = fitting_device_count(avail_data, cfg.eval.batch_size)
             global_batch = tc.batch_num_queries * ndev
         else:
             # 'fit': the batch axis shards over the mesh, so the mesh size
@@ -70,33 +76,62 @@ def train(
             # use the largest divisor (the reference's DataParallel
             # silently idles extra GPUs the same way).
             ndev = fitting_device_count(
-                avail, tc.batch_num_queries, cfg.eval.batch_size
+                avail_data, tc.batch_num_queries, cfg.eval.batch_size
             )
-        if ndev != avail:
+        if ndev * mp != avail:
             logger.log(
-                "mesh_shrunk", requested=avail, used=ndev,
+                "mesh_shrunk", requested=avail, used=ndev * mp,
                 batch_num_queries=tc.batch_num_queries,
             )
         logger.log(
-            "mesh", devices=ndev, scaling=cfg.mesh.batch_scaling,
+            "mesh", devices=ndev * mp, data=ndev, model=mp,
+            scaling=cfg.mesh.batch_scaling,
             global_batch_queries=global_batch,
         )
-        mesh = make_mesh(ndev, cfg.mesh.data_axis)
+        if mp > 1:
+            from lpdnet_tpu.parallel.tp import check_divisibility, make_mesh_2d
+
+            mesh = make_mesh_2d(
+                ndev, mp, (cfg.mesh.data_axis, cfg.mesh.model_axis)
+            )
+            check_divisibility(
+                cfg.model.num_clusters, mesh, cfg.mesh.model_axis
+            )
+        else:
+            mesh = make_mesh(ndev, cfg.mesh.data_axis)
 
     model, state = create_train_state(
         cfg.model, tc, jax.random.key(tc.seed),
         examples_per_step=global_batch,
     )
-    train_step = make_train_step(
-        model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis
-    )
-    embed_fn = make_embed_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
-    # Scan-chunked sweep variant: opt-in for fast-DMA hosts
-    # (EvalConfig.sweep_chunk > 1); per-batch pipelining otherwise.
-    embed_many_fn = (
-        make_embed_many_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
-        if cfg.eval.sweep_chunk > 1 else None
-    )
+    if mp > 1:
+        # Tensor-parallel head over the 2-D mesh: same step program, the
+        # head's shardings drive XLA's collective placement (parallel/tp.py).
+        from lpdnet_tpu.parallel.tp import make_tp_embed_fn, make_tp_train_step
+
+        train_step = make_tp_train_step(
+            model, tc.loss, mesh, state,
+            data_axis=cfg.mesh.data_axis, model_axis=cfg.mesh.model_axis,
+        )
+        embed_fn = make_tp_embed_fn(
+            model, mesh,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            data_axis=cfg.mesh.data_axis, model_axis=cfg.mesh.model_axis,
+        )
+        embed_many_fn = None  # scan-chunk sweep is a 1-D-mesh option
+    else:
+        train_step = make_train_step(
+            model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis
+        )
+        embed_fn = make_embed_fn(
+            model, mesh=mesh, data_axis=cfg.mesh.data_axis
+        )
+        # Scan-chunked sweep variant: opt-in for fast-DMA hosts
+        # (EvalConfig.sweep_chunk > 1); per-batch pipelining otherwise.
+        embed_many_fn = (
+            make_embed_many_fn(model, mesh=mesh, data_axis=cfg.mesh.data_axis)
+            if cfg.eval.sweep_chunk > 1 else None
+        )
 
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
@@ -115,7 +150,12 @@ def train(
         logger.log("resume", epoch=start_epoch, batch=start_batch)
 
     if mesh is not None:
-        state = replicate(state, mesh)
+        if mp > 1:
+            from lpdnet_tpu.parallel.tp import shard_state
+
+            state = shard_state(state, mesh, cfg.mesh.model_axis)
+        else:
+            state = replicate(state, mesh)
 
     cache = DescriptorCache(res.sampler, batch_size=cfg.eval.batch_size)
     mining = tc.mining

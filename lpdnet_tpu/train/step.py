@@ -46,17 +46,14 @@ def _flatten_tuples(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, int, in
     return stacked.reshape(b * t, n, c), pos.shape[1], neg.shape[1]
 
 
-def make_train_step(
-    model,
-    loss_cfg: LossConfig,
-    mesh: Optional[Mesh] = None,
-    data_axis: str = "data",
-    donate: bool = True,
+def build_step_fn(
+    model, loss_cfg: LossConfig
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
-    """Build the jitted train step.
+    """The un-jitted train step body (fwd + loss + bwd + optimizer update).
 
-    With ``mesh`` set, inputs are constrained batch-sharded and the state
-    replicated, making the compiled program data-parallel over the mesh.
+    Shared by the data-parallel wrapper below and the tensor-parallel one in
+    ``parallel/tp.py`` — parallelism is expressed purely through shardings on
+    the SAME program.
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -85,6 +82,22 @@ def make_train_step(
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return new_state, loss
 
+    return step
+
+
+def make_train_step(
+    model,
+    loss_cfg: LossConfig,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
+    """Build the jitted train step.
+
+    With ``mesh`` set, inputs are constrained batch-sharded and the state
+    replicated, making the compiled program data-parallel over the mesh.
+    """
+    step = build_step_fn(model, loss_cfg)
     opts = _tpu_compiler_options()
     if mesh is None:
         return jax.jit(

@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--no_mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--model_devices", type=int, default=None,
+                   help="tensor-parallel width: shard the NetVLAD head over "
+                        "a 'model' mesh axis this wide (2-D (data, model) "
+                        "mesh; num_clusters must divide by it)")
     p.add_argument("--batch_scaling", default=None,
                    choices=["per_device", "fit"],
                    help="per_device: global batch = batch_num_queries x mesh "
@@ -106,6 +110,8 @@ def main():
     if args.resume: over["train.resume"] = True
     if args.seed is not None: over["train.seed"] = args.seed
     if args.num_devices is not None: over["mesh.num_devices"] = args.num_devices
+    if args.model_devices is not None:
+        over["mesh.model_devices"] = args.model_devices
     if args.batch_scaling: over["mesh.batch_scaling"] = args.batch_scaling
     if args.dtype: over["model.compute_dtype"] = args.dtype
     cfg = apply_overrides(cfg, **over)
