@@ -95,6 +95,16 @@ class ModelConfig:
     # Exact kNN selection everywhere (lax.top_k; slow on TPU) — for
     # fidelity audits of the approximate default.
     exact_knn: bool = False
+    # Morton-window kNN (LPD trunk): sort each submap by Morton code inside
+    # the forward (the model is permutation-invariant, so this is free
+    # semantically) and restrict every kNN candidate scan to +-knn_window
+    # sorted rows around the query block. Shrinks the HBM-bound distance/
+    # mask tiles by ~N/(block+2w); measured ~96-98% neighbour recall at
+    # 256-512 on submap-like clouds and descriptor cosine >= 0.9996 vs the
+    # full scan (worst case over 64 submaps). None = full scans. Degenerates
+    # to the full scan when the window covers N; disabled automatically
+    # under exact_knn (the fidelity-audit path stays exact).
+    knn_window: Optional[int] = 512
 
     @property
     def effective_input_dim(self) -> int:

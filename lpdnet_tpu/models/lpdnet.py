@@ -125,6 +125,12 @@ class LPDNetFeat(nn.Module):
     pallas_gather: bool = False
     recall_target: float = 0.95
     exact_knn: bool = False
+    # Morton-window half-width for both graph searches (requires
+    # Morton-sorted input points — the caller sorts; see ModelConfig).
+    # The feature-space graph is windowed in the SAME sorted order: learned
+    # features are spatially smooth, so their neighbours stay index-local
+    # (measured ~98% recall at 512 on submap-like clouds).
+    knn_window: int | None = None
 
     @nn.compact
     def __call__(
@@ -148,6 +154,7 @@ class LPDNetFeat(nn.Module):
             idx_xyz = knn_indices(
                 xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,
                 recall_target=self.recall_target, exact=self.exact_knn,
+                window=self.knn_window,
             )
         h = EdgeConv(
             self.spatial_width, dtype=self.dtype,
@@ -158,6 +165,7 @@ class LPDNetFeat(nn.Module):
         idx_feat = knn_indices(
             h, self.k, block=self.knn_block, dist_dtype=dist_dtype,
             recall_target=self.recall_target, exact=self.exact_knn,
+            window=self.knn_window,
         )
         h = EdgeConv(
             self.feature_width, dtype=self.dtype,

@@ -24,6 +24,7 @@ from lpdnet_tpu.models.lpdnet import LPDNetFeat
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
 from lpdnet_tpu.models.pointnet import PointNetFeat
 from lpdnet_tpu.ops.features import eigen_features_and_knn
+from lpdnet_tpu.ops.morton import morton_sort
 
 
 class DescriptorNet(nn.Module):
@@ -41,6 +42,13 @@ class DescriptorNet(nn.Module):
                 use_pallas = jax.default_backend() not in ("cpu",)
             else:
                 use_pallas = cfg.pallas_gather == "on"
+            # Morton-window kNN: sort the submap by Morton code (the model
+            # is permutation-invariant, so only approximate-selection
+            # tie-breaks can differ) so every kNN candidate scan can be
+            # windowed. The exact_knn audit path stays full/exact.
+            window = None if cfg.exact_knn else cfg.knn_window
+            if window is not None:
+                x = morton_sort(x)
             idx_xyz = None
             if cfg.compute_features_on_device and x.shape[-1] == 3:
                 # Fused feature stage: masked-moment features + the xyz kNN
@@ -54,6 +62,7 @@ class DescriptorNet(nn.Module):
                     recall_target=cfg.features.recall_target,
                     fused_stats=cfg.features.fused_stats,
                     exact=cfg.exact_knn,
+                    window=window,
                 )
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
@@ -67,6 +76,7 @@ class DescriptorNet(nn.Module):
                 pallas_gather=use_pallas,
                 recall_target=cfg.features.recall_target,
                 exact_knn=cfg.exact_knn,
+                knn_window=window,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":

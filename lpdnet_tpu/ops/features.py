@@ -15,10 +15,11 @@ Feature list and order (SURVEY C4 / FeatureConfig docstring):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lpdnet_tpu.ops.eigen import (
     eigvals_sym2x2,
@@ -118,7 +119,9 @@ def _cov_from_moment_sums(sums: jnp.ndarray, cnt: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "block", "exact", "recall_target", "fused_stats"),
+    static_argnames=(
+        "k", "block", "exact", "recall_target", "fused_stats", "window",
+    ),
 )
 def eigen_features_and_knn(
     points: jnp.ndarray,
@@ -129,6 +132,7 @@ def eigen_features_and_knn(
     exact: bool = False,
     recall_target: float = 0.95,
     fused_stats: bool = False,
+    window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free feature stage + the xyz kNN graph in ONE pass.
 
@@ -150,6 +154,11 @@ def eigen_features_and_knn(
     make the mask slightly larger than k; statistics divide by the true
     mask count, matching an exact-k oracle to ~1e-3.
 
+    With ``window`` set (Morton-sorted input required — see
+    ``knn_indices_and_dists``), the distance/mask tiles and the moment
+    matmul shrink from (block, N) to (block, block+2*window) — the scan is
+    HBM-bound on exactly those buffers.
+
     Returns:
       (features (B, N, 10) float32, idx (B, N, k) int32).
     """
@@ -162,6 +171,24 @@ def eigen_features_and_knn(
     q_pad = jnp.pad(pts, ((0, 0), (0, n_pad - n), (0, 0)))
     q_tiles = q_pad.reshape(b, num_blocks, block, 3).transpose(1, 0, 2, 3)
 
+    win_n = n if window is None else min(block + 2 * window, n)
+    if window is not None and win_n >= n:
+        window = None
+        win_n = n
+    if window is not None:
+        los = jnp.asarray(
+            np.clip(
+                np.arange(num_blocks) * block - window, 0, n - win_n
+            ).astype(np.int32)
+        )
+    else:
+        los = jnp.zeros(num_blocks, jnp.int32)
+
+    if fused_stats and window is not None:
+        raise ValueError(
+            "fused_stats (the phase-split Pallas stats kernel, a documented "
+            "negative result) does not support the Morton window"
+        )
     if fused_stats and not exact:
         # TPU phase split: a minimal scan produces idx + kth (the selection
         # custom-call can't fuse), then the Pallas kernel recomputes each
@@ -212,8 +239,15 @@ def eigen_features_and_knn(
         [x, y, z, x * x, y * y, z * z, x * y, x * z, y * z], axis=-1
     )  # (B, N, 9)
 
-    def scan_body(carry, q_tile):
-        d = pairwise_sqdist(q_tile, pts)  # (B, blk, N)
+    def scan_body(carry, tile):
+        q_tile, lo = tile
+        if window is None:
+            cand, mom_c, z_c = pts, moments, z
+        else:
+            cand = jax.lax.dynamic_slice_in_dim(pts, lo, win_n, axis=1)
+            mom_c = jax.lax.dynamic_slice_in_dim(moments, lo, win_n, axis=1)
+            z_c = jax.lax.dynamic_slice_in_dim(z, lo, win_n, axis=1)
+        d = pairwise_sqdist(q_tile, cand)  # (B, blk, win_n)
         if exact:
             neg_d, idx = jax.lax.top_k(-d, k)
             kd = -neg_d
@@ -232,21 +266,21 @@ def eigen_features_and_knn(
             jnp.sum(mask.astype(jnp.float32), axis=-1), 1.0
         )  # (B, blk)
         sums = jnp.einsum(
-            "bqn,bnm->bqm", mask, moments, preferred_element_type=jnp.float32
+            "bqn,bnm->bqm", mask, mom_c, preferred_element_type=jnp.float32
         )  # (B, blk, 9)
         cov, czz = _cov_from_moment_sums(sums, cnt)  # (B, blk, 3, 3)
-        z_nb = jnp.where(mask > 0, z[:, None, :], -jnp.inf)
+        z_nb = jnp.where(mask > 0, z_c[:, None, :], -jnp.inf)
         z_max = jnp.max(z_nb, axis=-1)
         z_min = jnp.min(
-            jnp.where(mask > 0, z[:, None, :], jnp.inf), axis=-1
+            jnp.where(mask > 0, z_c[:, None, :], jnp.inf), axis=-1
         )
         r_k = jnp.sqrt(jnp.maximum(kth[..., 0].astype(jnp.float32), 0.0))
         feats = _features_from_stats(
             cov, z_max, z_min, czz, r_k, k, eps,
         )
-        return carry, (feats, idx.astype(jnp.int32))
+        return carry, (feats, (idx + lo).astype(jnp.int32))
 
-    _, (feats, idx) = jax.lax.scan(scan_body, None, q_tiles)
+    _, (feats, idx) = jax.lax.scan(scan_body, None, (q_tiles, los))
     feats = feats.transpose(1, 0, 2, 3).reshape(b, n_pad, 10)[:, :n]
     idx = idx.transpose(1, 0, 2, 3).reshape(b, n_pad, k)[:, :n]
     return feats, idx

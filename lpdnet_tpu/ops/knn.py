@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lpdnet_tpu.ops.pairwise import pairwise_sqdist
 
@@ -35,6 +36,7 @@ def _round_up(x: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "k", "block", "exclude_self", "exact", "recall_target", "dist_dtype",
+        "window",
     ),
 )
 def knn_indices_and_dists(
@@ -47,6 +49,7 @@ def knn_indices_and_dists(
     exact: bool = False,
     recall_target: float = 0.95,
     dist_dtype: str = "float32",
+    window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest database points for every query point, blockwise.
 
@@ -63,6 +66,14 @@ def knn_indices_and_dists(
         faster at ~0.99 per-neighbour recall for k=20 over 4096; exact on
         CPU where it falls back to full sort).
       recall_target: per-neighbour recall for the approximate path.
+      window: Morton-window half-width. Requires queries IS database in
+        Morton-sorted order (``ops.morton.morton_sort``): query block
+        [q0, q0+block) only scans database rows [q0-window, q0+block+window)
+        — sorted points put ~96-98%% of true neighbours inside a 256-512
+        window (measured), and the distance tile shrinks from (block, Nd)
+        to (block, block+2*window). The dominant cost of the scan is that
+        tile's HBM traffic, so this is a ~Nd/(block+2w) speedup at a
+        bounded neighbour-recall cost.
 
     Returns:
       (idx, dist): (B, Nq, k) int32 neighbour indices and (B, Nq, k) float32
@@ -72,6 +83,10 @@ def knn_indices_and_dists(
     nd = database.shape[1]
     if k > nd - (1 if exclude_self else 0):
         raise ValueError(f"k={k} too large for Nd={nd} (exclude_self={exclude_self})")
+    if window is not None and nq != nd:
+        raise ValueError(
+            "window requires a self-graph (queries is database, Nq == Nd)"
+        )
 
     block = min(block, _round_up(nq, 8))
     nq_pad = _round_up(nq, block)
@@ -86,13 +101,27 @@ def knn_indices_and_dists(
         row_ids = jnp.zeros((num_blocks, block), jnp.int32)
 
     db = database.astype(jnp.float32)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nd), 2)
+    win_n = nd if window is None else min(block + 2 * window, nd)
+    if window is not None and win_n >= nd:
+        window = None  # degenerate: the window covers everything
+        win_n = nd
+    if window is not None:
+        los = np.clip(
+            np.arange(num_blocks) * block - window, 0, nd - win_n
+        ).astype(np.int32)
+    else:
+        los = np.zeros(num_blocks, np.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win_n), 2)
 
     def scan_body(carry, tile):
-        q_tile, rows = tile  # (B, block, C), (block,)
-        d = pairwise_sqdist(q_tile, db)  # (B, block, Nd)
+        q_tile, rows, lo = tile  # (B, block, C), (block,), ()
+        cand = (
+            db if window is None
+            else jax.lax.dynamic_slice_in_dim(db, lo, win_n, axis=1)
+        )
+        d = pairwise_sqdist(q_tile, cand)  # (B, block, win_n)
         if exclude_self:
-            d = jnp.where(col_ids == rows[None, :, None], jnp.inf, d)
+            d = jnp.where(col_ids + lo == rows[None, :, None], jnp.inf, d)
         if exact:
             neg_d, idx = jax.lax.top_k(-d, k)
             dist = -neg_d
@@ -104,9 +133,11 @@ def knn_indices_and_dists(
                 d.astype(jnp.dtype(dist_dtype)), k,
                 recall_target=recall_target,
             )
-        return carry, (idx.astype(jnp.int32), dist.astype(jnp.float32))
+        return carry, ((idx + lo).astype(jnp.int32), dist.astype(jnp.float32))
 
-    _, (idx, dist) = jax.lax.scan(scan_body, None, (q_tiles, row_ids))
+    _, (idx, dist) = jax.lax.scan(
+        scan_body, None, (q_tiles, row_ids, jnp.asarray(los))
+    )
     # (num_blocks, B, block, k) -> (B, Nq, k)
     idx = idx.transpose(1, 0, 2, 3).reshape(b, nq_pad, k)[:, :nq]
     dist = dist.transpose(1, 0, 2, 3).reshape(b, nq_pad, k)[:, :nq]
@@ -123,6 +154,7 @@ def knn_indices(
     exact: bool = False,
     recall_target: float = 0.95,
     dist_dtype: str = "float32",
+    window: Optional[int] = None,
 ) -> jnp.ndarray:
     """kNN graph over one point set (the common model-side call).
 
@@ -143,5 +175,6 @@ def knn_indices(
     idx, _ = knn_indices_and_dists(
         space, space, k, block=block, exclude_self=exclude_self,
         exact=exact, recall_target=recall_target, dist_dtype=dist_dtype,
+        window=window,
     )
     return idx

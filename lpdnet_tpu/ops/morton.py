@@ -55,15 +55,18 @@ def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
 
 
 def morton_sort(points: jnp.ndarray) -> jnp.ndarray:
-    """Sort each cloud's points by Morton code: (..., N, 3) -> same shape.
+    """Sort each cloud's points by Morton code: (..., N, C) -> same shape.
 
-    Uses ``lax.sort`` with the coordinates as payload (one sort, no gather).
+    Keys come from the first three (xyz) channels; any further channels
+    (e.g. precomputed 10-D features of the 13-D LPD input) ride along as
+    payload. One ``lax.sort``, no gather.
     """
-    codes = morton_codes(points)
+    codes = morton_codes(points[..., :3])
     pts = points.astype(jnp.float32)
-    _, x, y, z = jax.lax.sort(
-        (codes, pts[..., 0], pts[..., 1], pts[..., 2]),
+    c = pts.shape[-1]
+    sorted_ops = jax.lax.sort(
+        (codes, *(pts[..., i] for i in range(c))),
         dimension=-1,
         num_keys=1,
     )
-    return jnp.stack([x, y, z], axis=-1)
+    return jnp.stack(sorted_ops[1:], axis=-1)
