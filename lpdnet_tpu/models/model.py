@@ -45,8 +45,12 @@ class DescriptorNet(nn.Module):
             # Morton-window kNN: sort the submap by Morton code (the model
             # is permutation-invariant, so only approximate-selection
             # tie-breaks can differ) so every kNN candidate scan can be
-            # windowed. The exact_knn audit path stays full/exact.
-            window = None if cfg.exact_knn else cfg.knn_window
+            # windowed. The exact_knn audit path stays full/exact, and the
+            # fused_stats kernel (a kept negative result) predates windowing.
+            window = (
+                None if (cfg.exact_knn or cfg.features.fused_stats)
+                else cfg.knn_window
+            )
             if window is not None:
                 x = morton_sort(x)
             idx_xyz = None

@@ -175,6 +175,11 @@ def eigen_features_and_knn(
     if window is not None and win_n >= n:
         window = None
         win_n = n
+    if window is not None and k > win_n:
+        raise ValueError(
+            f"k={k} too large for the candidate window "
+            f"(block + 2*window = {win_n}); widen window or block"
+        )
     if window is not None:
         los = jnp.asarray(
             np.clip(

@@ -105,6 +105,11 @@ def knn_indices_and_dists(
     if window is not None and win_n >= nd:
         window = None  # degenerate: the window covers everything
         win_n = nd
+    if window is not None and k > win_n - (1 if exclude_self else 0):
+        raise ValueError(
+            f"k={k} too large for the candidate window "
+            f"(block + 2*window = {win_n}); widen window or block"
+        )
     if window is not None:
         los = np.clip(
             np.arange(num_blocks) * block - window, 0, nd - win_n

@@ -4,9 +4,10 @@ Relabeling a submap's points by Morton code makes kNN neighbour indices
 index-local: measured on synthetic submaps, the k=20 xyz-graph neighbours of
 a point span ~5.8 distinct 16-row slabs after the sort vs ~19.3 before (and
 ~6.1 for the learned-feature-space graph, because trunk features are
-spatially smooth). The slab-dedup gather kernel
-(``ops/pallas/edge_gather.py``) turns that into proportionally fewer
-dynamic-slab loads — the issue-bound floor of the aggregation.
+spatially smooth). Two consumers: the windowed-kNN candidate scans
+(``ops/knn.py`` / ``ops/features.py``, the production win) and the
+slab-dedup gather kernel (``ops/pallas/edge_gather_dedup.py``, a kept
+negative result).
 
 The descriptor model is permutation-invariant (per-point feature stage, kNN
 sets, symmetric max/sum pooling are all label-independent), so sorting is

@@ -44,6 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lpdnet_tpu.configs import LossConfig
+from lpdnet_tpu.parallel.mesh import batch_sharding, replicate_sharding
 from lpdnet_tpu.train.state import TrainState
 from lpdnet_tpu.train.step import _tpu_compiler_options, build_step_fn
 
@@ -79,7 +80,15 @@ def make_multislice_mesh(
     """
     devs = jax.devices()
     slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devs})
-    if len(slice_ids) >= num_slices and len(slice_ids) > 1:
+    if len(slice_ids) > 1:
+        # Real multislice hardware: rows MUST group by slice — a contiguous
+        # fallback would put model-axis collectives on DCN, the exact
+        # failure this helper exists to prevent.
+        if len(slice_ids) < num_slices:
+            raise ValueError(
+                f"requested {num_slices} slices, hardware has "
+                f"{len(slice_ids)}"
+            )
         rows = []
         for s in slice_ids[:num_slices]:
             grp = sorted(
@@ -88,8 +97,16 @@ def make_multislice_mesh(
             )
             rows.append(grp)
         per = chips_per_slice or min(len(r) for r in rows)
+        short = [i for i, r in enumerate(rows) if len(r) < per]
+        if short:
+            raise ValueError(
+                f"chips_per_slice={per} exceeds the device count of "
+                f"slice(s) {short} "
+                f"(sizes {[len(rows[i]) for i in short]})"
+            )
         grid = np.asarray([r[:per] for r in rows])
     else:
+        # Single slice / virtual CPU fleet: contiguous pseudo-slices.
         per = chips_per_slice or len(devs) // num_slices
         if num_slices * per > len(devs):
             raise ValueError(
@@ -174,14 +191,14 @@ def make_tp_train_step(
     sharding pytree — pass the unsharded state or one from shard_state)."""
     step = build_step_fn(model, loss_cfg)
     st_sh = state_shardings(state, mesh, model_axis)
-    batch_sh = NamedSharding(mesh, P(data_axis))
+    batch_sh = batch_sharding(mesh, data_axis)
     batch_shardings = {
         "query": batch_sh,
         "positives": batch_sh,
         "negatives": batch_sh,
         "other_neg": batch_sh,
     }
-    repl = NamedSharding(mesh, P())
+    repl = replicate_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(st_sh, batch_shardings),
@@ -207,6 +224,6 @@ def make_tp_embed_fn(
     var_sh = state_shardings(variables, mesh, model_axis)
     return jax.jit(
         embed,
-        in_shardings=(var_sh, NamedSharding(mesh, P(data_axis))),
-        out_shardings=NamedSharding(mesh, P()),
+        in_shardings=(var_sh, batch_sharding(mesh, data_axis)),
+        out_shardings=replicate_sharding(mesh),
     )

@@ -119,6 +119,11 @@ def train(
             data_axis=cfg.mesh.data_axis, model_axis=cfg.mesh.model_axis,
         )
         embed_many_fn = None  # scan-chunk sweep is a 1-D-mesh option
+        if cfg.eval.sweep_chunk > 1:
+            logger.log(
+                "sweep_chunk_disabled", reason="tensor-parallel mesh",
+                requested=cfg.eval.sweep_chunk,
+            )
     else:
         train_step = make_train_step(
             model, tc.loss, mesh=mesh, data_axis=cfg.mesh.data_axis

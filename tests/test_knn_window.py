@@ -54,6 +54,37 @@ def test_window_degenerates_to_full_scan(rng):
     np.testing.assert_array_equal(full, win)
 
 
+def test_window_rejects_k_larger_than_window(rng):
+    pts = jnp.asarray(rng.randn(1, 4096, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="candidate window"):
+        knn_indices(pts, 20, block=8, window=2)
+
+
+def test_fused_stats_config_still_usable_with_default_window(rng):
+    # Regression: the default knn_window must not make the (negative-result,
+    # but supported) fused_stats flag raise at trace time — model.py
+    # disables the window for it.
+    cfg = ModelConfig(
+        trunk="lpdnet", num_points=256, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6,
+        features=FeatureConfig(k=6, knn_block=64, fused_stats=True),
+    )
+    assert cfg.knn_window is not None  # the default that used to crash
+    from lpdnet_tpu.models.model import build_model
+
+    model = build_model(cfg)
+    pts = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+    # The fused kernel itself is TPU-only; tracing (abstract eval) is enough
+    # to prove the config no longer hits the fused_stats+window ValueError.
+    variables = jax.eval_shape(
+        lambda x: model.init(jax.random.key(0), x, train=False), pts
+    )
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), variables, pts
+    )
+    assert out.shape == (1, 32)
+
+
 def test_window_rejects_non_self_graph(rng):
     q = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
     db = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32))

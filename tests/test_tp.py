@@ -54,6 +54,13 @@ def test_multislice_mesh_fallback_blocks():
     assert mesh.shape == {"data": 4, "model": 2}
 
 
+def test_multislice_mesh_rejects_oversubscription():
+    import pytest
+
+    with pytest.raises(ValueError, match="need"):
+        make_multislice_mesh(4, 4)  # 16 > 8 virtual devices
+
+
 def test_partition_specs_target_only_the_head():
     _, model, state, _, _ = make_bits()
     specs = partition_specs(state.params)
