@@ -241,6 +241,7 @@ def train(
                 rotation_max_deg=cfg.data.rotation_max_deg,
                 jitter_sigma=cfg.data.jitter_sigma,
                 jitter_clip=cfg.data.jitter_clip,
+                transfer_dtype=tc.transfer_dtype,
             )
         )
         for off, (ids, batch) in enumerate(batches):

@@ -36,14 +36,20 @@ def _tpu_compiler_options() -> Optional[Dict[str, Any]]:
 
 
 def _flatten_tuples(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, int, int]:
-    """(B,*,N,C) tuple dict -> one (B*(1+P+M+1), N, C) stack."""
+    """(B,*,N,C) tuple dict -> one (B*(1+P+M+1), N, C) stack.
+
+    Accepts a reduced-precision wire format (float16 from the sampler's
+    ``transfer_dtype`` — halves the per-step upload); the cast back to f32
+    happens here, before any compute.
+    """
     q = batch["query"][:, None]  # (B, 1, N, C)
     pos = batch["positives"]
     neg = batch["negatives"]
     other = batch["other_neg"][:, None]
     stacked = jnp.concatenate([q, pos, neg, other], axis=1)
     b, t, n, c = stacked.shape
-    return stacked.reshape(b * t, n, c), pos.shape[1], neg.shape[1]
+    flat = stacked.reshape(b * t, n, c).astype(jnp.float32)
+    return flat, pos.shape[1], neg.shape[1]
 
 
 def build_step_fn(

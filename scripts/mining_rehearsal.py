@@ -116,7 +116,7 @@ def main():
         batches = prefetch_iterator(
             sampler.epoch_batches(
                 args.batch_num_queries, rng, hard_negs_fn=hard_fn,
-                rotate=True, jitter=True,
+                rotate=True, jitter=True, transfer_dtype="float16",
             ),
             depth=3,
         )
