@@ -38,6 +38,61 @@ def run_cli(script, *args, timeout=600):
 
 
 @pytest.mark.slow
+def test_evaluate_all_sets_cli(tmp_path):
+    """--all_sets (the reference's refined-stage eval over oxford +
+    university + residential + business): per-set reports for the pickles
+    that exist, clean skips for the ones that don't."""
+    import shutil
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_oxford_format_e2e import REGION, fabricate_oxford
+
+    base = fabricate_oxford(tmp_path, n_side=4)
+    from lpdnet_tpu.data.generate_queries import (
+        construct_query_and_database_sets,
+    )
+
+    db_path, q_path = construct_query_and_database_sets(
+        base, "oxford", base, regions=REGION, region_width=75.0,
+    )
+    # Second benchmark set: reuse the oxford pickles under the university
+    # name (the loop only cares about the <set>_evaluation_* layout).
+    shutil.copy(db_path, os.path.join(base, "university_evaluation_database.pickle"))
+    shutil.copy(q_path, os.path.join(base, "university_evaluation_query.pickle"))
+
+    # Pre-written config.json (evaluate.py auto-loads it from the log dir)
+    # keeps the model tiny — the full preset compiles for minutes on CPU.
+    log_dir = str(tmp_path / "log")
+    from lpdnet_tpu.configs import (
+        Config, DataConfig, EvalConfig, ModelConfig,
+    )
+    from lpdnet_tpu.utils.checkpoint import save_config
+
+    save_config(
+        Config(
+            model=ModelConfig(
+                trunk="pointnetvlad", num_points=48, feature_dim=64,
+                num_clusters=8, output_dim=32, use_input_transform=False,
+            ),
+            data=DataConfig(num_points=48),
+            eval=EvalConfig(batch_size=8),
+        ),
+        log_dir,
+    )
+    out = run_cli(
+        "evaluate.py", "--all_sets", "--dataset_folder", base,
+        "--log_dir", log_dir, "--no_mesh",
+    )
+    assert "=== oxford ===" in out.stdout
+    assert "=== university ===" in out.stdout
+    assert "skipping residential" in out.stdout
+    assert "skipping business" in out.stdout
+    assert os.path.isfile(os.path.join(log_dir, "oxford_results.txt"))
+    assert os.path.isfile(os.path.join(log_dir, "university_results.txt"))
+
+
+@pytest.mark.slow
 def test_train_evaluate_resume_cli_roundtrip(tmp_path):
     log_dir = str(tmp_path / "log")
 
