@@ -39,8 +39,12 @@ class FeatureConfig:
 
     k: int = 20  # neighborhood size for the local covariance (incl. self)
     eps: float = 1e-8  # degenerate-neighborhood guard
-    # Blockwise kNN tile size (query points per tile) for the feature stage.
-    knn_block: int = 1024
+    # Blockwise kNN tile size (query points per tile) for the feature stage
+    # and the trunk graphs. 512 pairs with knn_window=256 so every candidate
+    # window is block + 2w = 1024 — power-of-two windows measurably improve
+    # the approx_min_k reduction (1222 vs 1074 submaps/s for the 1536-wide
+    # non-pow2 window at B=32; sweep in docs/PERF_LOG.md).
+    knn_block: int = 512
     # Per-neighbour recall of the approximate TPU selection (approx_min_k).
     # Descriptor fidelity is insensitive to this knob (cosine vs the 0.95
     # setting: 1.00000 at 0.9, 0.99999 at 0.8 — max-aggregation and
@@ -101,10 +105,12 @@ class ModelConfig:
     # sorted rows around the query block. Shrinks the HBM-bound distance/
     # mask tiles by ~N/(block+2w); measured ~96-98% neighbour recall at
     # 256-512 on submap-like clouds and descriptor cosine >= 0.9996 vs the
-    # full scan (worst case over 64 submaps). None = full scans. Degenerates
-    # to the full scan when the window covers N; disabled automatically
-    # under exact_knn (the fidelity-audit path stays exact).
-    knn_window: Optional[int] = 512
+    # exact full scan (worst case over 64 submaps). None = full scans.
+    # Degenerates to the full scan when the window covers N; disabled
+    # automatically under exact_knn (the fidelity-audit path stays exact).
+    # 256 with knn_block=512 keeps every candidate window at a power of two
+    # (1024), the approx_min_k sweet spot (docs/PERF_LOG.md sweep).
+    knn_window: Optional[int] = 256
 
     @property
     def effective_input_dim(self) -> int:

@@ -8,6 +8,7 @@ batched XLA/Pallas primitives (SURVEY §2 "First-class TPU counterparts").
 - ``features``   the handcrafted 10-D eigen-feature stage, batched
 - ``edgeconv``   DGCNN-style edge features + max aggregation helpers
 - ``netvlad``    functional NetVLAD soft-assignment/residual core
+- ``morton``     Z-order spatial sort (windowed-kNN locality)
 """
 
 from lpdnet_tpu.ops.eigen import eigvals_sym3x3, eigvals_sym2x2, smallest_eigvec_sym3x3
@@ -21,8 +22,11 @@ from lpdnet_tpu.ops.features import (
 )
 from lpdnet_tpu.ops.edgeconv import edge_features
 from lpdnet_tpu.ops.netvlad import netvlad_aggregate
+from lpdnet_tpu.ops.morton import morton_codes, morton_sort
 
 __all__ = [
+    "morton_codes",
+    "morton_sort",
     "eigvals_sym3x3",
     "eigvals_sym2x2",
     "smallest_eigvec_sym3x3",
