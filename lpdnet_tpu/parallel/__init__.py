@@ -5,7 +5,10 @@ Three paths, one step program:
   * GSPMD data parallel (``train/step.py``) — 1-D mesh, batch-sharded;
   * explicit-collective DDP (``ddp.py``) — shard_map + pmean, per-replica BN;
   * tensor-parallel head (``tp.py``) — 2-D (data, model) mesh, Megatron-style
-    NetVLAD sharding via parameter shardings only.
+    NetVLAD sharding via parameter shardings only;
+  * point-axis sequence parallelism (``sp.py``) — one submap sharded over
+    the mesh via Morton windows + halo, NetVLAD partials psum'd (serving
+    latency path).
 """
 
 from lpdnet_tpu.parallel.mesh import (
@@ -23,6 +26,7 @@ from lpdnet_tpu.parallel.tp import (
     shard_state,
     partition_specs,
 )
+from lpdnet_tpu.parallel.sp import make_sp_embed_fn
 
 __all__ = [
     "make_mesh",
@@ -36,4 +40,5 @@ __all__ = [
     "make_tp_embed_fn",
     "shard_state",
     "partition_specs",
+    "make_sp_embed_fn",
 ]

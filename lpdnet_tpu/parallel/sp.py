@@ -1,0 +1,198 @@
+"""Point-axis (sequence) parallelism: one submap sharded over the mesh.
+
+The reference has nothing like this (its only parallelism replicates the
+whole model per GPU — SURVEY C20); this is the point-cloud analogue of
+sequence parallelism for the TPU build (SURVEY §5 "long-context" row, taken
+from blockwise-within-a-chip to blocks-across-chips): a latency path that
+embeds a SINGLE submap across all chips of a slice.
+
+How it shards — the Morton-window property does all the work:
+  * the submap is Morton-sorted (``ops/morton.py``), so every point's kNN
+    candidates live within ±w sorted rows (ops/knn.py windowed scans);
+  * each device takes a contiguous block of N/D sorted rows plus a w-row
+    HALO on each side — by the window property that halo contains every
+    candidate its block needs, for the feature stage, the Cartesian graph,
+    AND the learned-feature-space graph (feature smoothness keeps it
+    index-local; measured in ops/morton.py);
+  * the feature stage + LPD trunk run fully locally on the (N/D + 2w)-row
+    window (halo rows are recomputed by both neighbours — the standard
+    halo-redundancy trade);
+  * NetVLAD is the only cross-device op: per-device PARTIAL soft-assigned
+    residual sums over its center rows, one ``lax.psum`` over the mesh,
+    then the (tiny, replicated) normalize/project/gate tail.
+
+Numerics match the single-device Morton-window model (same candidate
+windows when ``block == N/D`` and the same ``w``) up to halo-row boundary
+effects and f32 sum order; the parity test pins cosine > 0.999.
+
+Inference-only by design: this is the serving-latency path (training wants
+batch/tensor parallelism — ``train/step.py`` / ``parallel/tp.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lpdnet_tpu.configs import ModelConfig
+from lpdnet_tpu.models.lpdnet import LPDNetFeat
+from lpdnet_tpu.ops.features import eigen_features_and_knn
+from lpdnet_tpu.ops.morton import morton_sort
+
+
+def _bn_affine(x, params, stats, eps=1e-5):
+    inv = jax.lax.rsqrt(stats["var"] + eps)
+    return (x - stats["mean"]) * inv * params["scale"] + params["bias"]
+
+
+def _netvlad_partial(x, params, stats, add_batch_norm: bool):
+    """Per-point soft-assignment partials over the LOCAL rows.
+
+    x: (B, n_local, D) -> (agg (B, K, D), a_sum (B, K)) — the only
+    quantities NetVLAD reduces over the point axis (ops/netvlad.py math,
+    split at the point-sum so the sum can cross devices).
+    """
+    logits = x @ params["cluster_weights"]["kernel"]
+    if add_batch_norm:
+        logits = _bn_affine(
+            logits, params["cluster_bn"], stats["cluster_bn"]
+        )
+    else:
+        logits = logits + params["cluster_weights"]["bias"]
+    a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (B, n, K)
+    agg = jnp.einsum(
+        "bnk,bnd->bkd", a, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return agg, jnp.sum(a, axis=1)
+
+
+def _netvlad_finalize(
+    agg, a_sum, params, stats, gating: bool, post_projection_bn: bool,
+    add_batch_norm: bool, eps: float = 1e-12,
+):
+    """The replicated tail: residuals vs centers, intra/global L2,
+    projection (+bn2), context gating (NetVLADLoupe semantics,
+    models/netvlad.py)."""
+    vlad = agg - a_sum[..., None] * params["cluster_centers"][None]
+    vlad = vlad / jnp.sqrt(jnp.sum(vlad * vlad, -1, keepdims=True) + eps)
+    flat = vlad.reshape(vlad.shape[0], -1)
+    flat = flat / jnp.sqrt(jnp.sum(flat * flat, -1, keepdims=True) + eps)
+    out = flat @ params["hidden1_weights"]["kernel"]
+    if post_projection_bn:
+        out = _bn_affine(out, params["hidden1_bn"], stats["hidden1_bn"])
+    else:
+        out = out + params["hidden1_weights"]["bias"]
+    if gating:
+        g = params["context_gating"]
+        gs = stats.get("context_gating", {})
+        gates = out @ g["gating_weights"]["kernel"]
+        if add_batch_norm:
+            gates = _bn_affine(gates, g["gating_bn"], gs["gating_bn"])
+        else:
+            gates = gates + g["gating_weights"]["bias"]
+        out = out * jax.nn.sigmoid(gates)
+    return out
+
+
+def make_sp_embed_fn(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    variables: Dict[str, Any],
+    axis: str = "points",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Point-parallel descriptor extraction ``(B, N, 3) -> (B, output_dim)``.
+
+    The mesh must be 1-D over ``axis``; N must divide by the mesh size and
+    the per-device block must be a multiple of 8. ``variables`` is the
+    ordinary trained model tree (params + batch_stats) — the SAME
+    parameters drive the sharded forward.
+    """
+    if cfg.trunk != "lpdnet" or not cfg.compute_features_on_device:
+        raise ValueError(
+            "sp embed supports the flagship on-device-features LPD path"
+        )
+    ndev = mesh.shape[axis]
+    n = cfg.num_points
+    if n % ndev:
+        raise ValueError(f"num_points={n} not divisible by mesh size {ndev}")
+    block = n // ndev
+    w = cfg.knn_window or 0
+    if w == 0:
+        raise ValueError("sp embed needs ModelConfig.knn_window set")
+    win = min(block + 2 * w, n)
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    trunk = LPDNetFeat(
+        feature_dim=cfg.feature_dim,
+        k=cfg.graph_k,
+        knn_block=win,  # local window = one tile; scans stay unwindowed
+        dtype=dtype,
+        edge_bn_placement=cfg.edge_bn_placement,
+        pallas_gather=False,  # local windows are small; XLA gather is fine
+        recall_target=cfg.features.recall_target,
+        exact_knn=cfg.exact_knn,
+        knn_window=None,
+    )
+    trunk_vars = {
+        "params": variables["params"]["trunk"],
+        "batch_stats": variables["batch_stats"]["trunk"],
+    }
+    nv_params = variables["params"]["netvlad"]
+    nv_stats = variables["batch_stats"].get("netvlad", {})
+
+    # Per-device window start rows (same clipping as the windowed scans).
+    los = np.clip(np.arange(ndev) * block - w, 0, n - win).astype(np.int32)
+    # Center-row offsets of each device's block within its window.
+    offs = (np.arange(ndev) * block - los).astype(np.int32)
+
+    def device_fn(pts_win, off):
+        # pts_win: (1, B, win, 3) this device's window; off: (1,) center.
+        pts = pts_win[0]
+        feats, idx = eigen_features_and_knn(
+            pts, cfg.features.k, eps=cfg.features.eps, block=win,
+            recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
+        )
+        x13 = jnp.concatenate([pts.astype(jnp.float32), feats], axis=-1)
+        idx_xyz = idx if cfg.features.k == cfg.graph_k else None
+        h = trunk.apply(trunk_vars, x13, train=False, idx_xyz=idx_xyz)
+        center = jax.lax.dynamic_slice_in_dim(h, off[0], block, axis=1)
+        agg, a_sum = _netvlad_partial(
+            center.astype(jnp.float32), nv_params, nv_stats,
+            cfg.add_batch_norm,
+        )
+        agg = jax.lax.psum(agg, axis)
+        a_sum = jax.lax.psum(a_sum, axis)
+        desc = _netvlad_finalize(
+            agg, a_sum, nv_params, nv_stats, cfg.gating,
+            cfg.post_projection_bn, cfg.add_batch_norm,
+        )
+        if cfg.normalize_output:
+            desc = desc / jnp.sqrt(
+                jnp.sum(desc * desc, -1, keepdims=True) + 1e-12
+            )
+        return desc[None]  # (1, B, D); all devices hold the same descriptor
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def embed(points):
+        # Sort once globally, slice the per-device windows, shard.
+        pts = morton_sort(points.astype(jnp.float32))  # (B, N, 3)
+        wins = jnp.stack(
+            [pts[:, lo : lo + win] for lo in los], axis=0
+        )  # (ndev, B, win, 3)
+        descs = sharded(wins, jnp.asarray(offs))  # (ndev, B, D) identical
+        return descs[0]
+
+    return embed

@@ -1,0 +1,63 @@
+"""Point-axis (sequence) parallel embed over the virtual 8-device fleet:
+the sharded single-submap forward must reproduce the single-device
+Morton-window model from the SAME parameters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lpdnet_tpu.configs import FeatureConfig, ModelConfig
+from lpdnet_tpu.models.model import init_model
+from lpdnet_tpu.parallel.mesh import make_mesh
+from lpdnet_tpu.parallel.sp import make_sp_embed_fn
+
+N = 512  # 64 rows/device on the 8-device mesh
+
+
+def make_cfg(**kw):
+    base = dict(
+        trunk="lpdnet", num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6, compute_dtype="float32",
+        # Matched geometry: single-device block == per-device SP block and
+        # the same halo width -> identical candidate windows.
+        knn_window=64,
+        features=FeatureConfig(k=6, knn_block=64),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def clustered(rng, b):
+    centers = rng.randn(8, 3)
+    pts = (centers[None, :, None]
+           + rng.randn(b, 8, N // 8, 3) * 0.05).reshape(b, N, 3)
+    return jnp.asarray(pts.astype(np.float32))
+
+
+def test_sp_embed_matches_single_device(rng):
+    cfg = make_cfg()
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    mesh = make_mesh(8, "points")
+    pts = clustered(rng, 2)
+
+    single = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pts)
+    )
+    sp = np.asarray(make_sp_embed_fn(cfg, mesh, variables)(pts))
+    assert sp.shape == single.shape == (2, 32)
+    cos = np.sum(single * sp, -1) / (
+        np.linalg.norm(single, axis=-1) * np.linalg.norm(sp, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
+def test_sp_embed_validates_config(rng):
+    mesh = make_mesh(8, "points")
+    cfg = make_cfg(knn_window=None)
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    with pytest.raises(ValueError, match="knn_window"):
+        make_sp_embed_fn(cfg, mesh, variables)
+    cfg2 = make_cfg(trunk="pointnetvlad", knn_window=64)
+    with pytest.raises(ValueError, match="LPD"):
+        make_sp_embed_fn(cfg2, mesh, variables)
