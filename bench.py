@@ -243,6 +243,39 @@ def bench_eval(
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def bench_latency(iters: int = 50):
+    """Serving latency: ONE 4096-pt submap end-to-end (B=1), the
+    place-recognition online path (embed a just-captured submap). Chained
+    inside one jit like the throughput bench; reports ms/submap."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpdnet_tpu.configs import ModelConfig
+    from lpdnet_tpu.models.model import init_model
+
+    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+
+    @jax.jit
+    def run(variables, points):
+        def body(carry, _):
+            out = model.apply(variables, points + carry * 1e-30, train=False)
+            return jnp.sum(out), None
+        carry, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters
+        )
+        return carry
+
+    rs = np.random.RandomState(0)
+    pts = jnp.asarray(rs.randn(1, cfg.num_points, 3).astype(np.float32) * 0.3)
+    np.asarray(run(variables, pts))
+    t0 = time.perf_counter()
+    np.asarray(run(variables, pts))
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"latency: {ms:.2f} ms/submap (B=1)", file=sys.stderr)
+    return ms
+
+
 def main():
     import argparse
 
@@ -252,10 +285,24 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--mode", default="inference",
-                    choices=["inference", "train", "pointnetvlad", "eval"])
+                    choices=["inference", "train", "pointnetvlad", "eval",
+                             "latency"])
     args = ap.parse_args()
 
     enable_compilation_cache()
+    if args.mode == "latency":
+        ms = bench_latency()
+        print(json.dumps({
+            "metric": "embed_latency_ms_per_submap",
+            "value": round(ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms / 1000.0, 4),
+            "detail": {
+                "model": "lpdnet bf16, B=1 single-submap serving path",
+                "num_points": 4096,
+            },
+        }))
+        return
     if args.mode == "pointnetvlad":
         best, best_bs = bench_throughput(trunk="pointnetvlad")
         print(json.dumps({

@@ -9,6 +9,13 @@ Three paths, one step program:
   * point-axis sequence parallelism (``sp.py``) — one submap sharded over
     the mesh via Morton windows + halo, NetVLAD partials psum'd (serving
     latency path).
+
+Deliberately absent: pipeline parallelism (the model is two EdgeConvs and
+a head — there is no layer stack deep enough to fill a pipeline, and a
+whole model replica fits in one chip's HBM thousands of times over) and
+expert parallelism (no MoE anywhere in the family). Scale here means
+batch, the model axis of the head, and the point axis — all three are
+implemented.
 """
 
 from lpdnet_tpu.parallel.mesh import (
