@@ -245,33 +245,11 @@ def bench_eval(
 
 def bench_latency(iters: int = 50):
     """Serving latency: ONE 4096-pt submap end-to-end (B=1), the
-    place-recognition online path (embed a just-captured submap). Chained
-    inside one jit like the throughput bench; reports ms/submap."""
-    import jax
-    import jax.numpy as jnp
-
-    from lpdnet_tpu.configs import ModelConfig
-    from lpdnet_tpu.models.model import init_model
-
-    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
-    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
-
-    @jax.jit
-    def run(variables, points):
-        def body(carry, _):
-            out = model.apply(variables, points + carry * 1e-30, train=False)
-            return jnp.sum(out), None
-        carry, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), None, length=iters
-        )
-        return carry
-
-    rs = np.random.RandomState(0)
-    pts = jnp.asarray(rs.randn(1, cfg.num_points, 3).astype(np.float32) * 0.3)
-    np.asarray(run(variables, pts))
-    t0 = time.perf_counter()
-    np.asarray(run(variables, pts))
-    ms = (time.perf_counter() - t0) / iters * 1e3
+    place-recognition online path (embed a just-captured submap). Reuses
+    the throughput harness (same scan-chained measurement protocol) at
+    batch size 1; reports ms/submap."""
+    rate, _ = bench_throughput(batch_sizes=(1,), iters=iters)
+    ms = 1e3 / rate
     print(f"latency: {ms:.2f} ms/submap (B=1)", file=sys.stderr)
     return ms
 

@@ -42,8 +42,8 @@ class FeatureConfig:
     # Blockwise kNN tile size (query points per tile) for the feature stage
     # and the trunk graphs. 512 pairs with knn_window=256 so every candidate
     # window is block + 2w = 1024 — power-of-two windows measurably improve
-    # the approx_min_k reduction (1222 vs 1074 submaps/s for the 1536-wide
-    # non-pow2 window at B=32; sweep in docs/PERF_LOG.md).
+    # the approx_min_k reduction (1222 submaps/s at win 1024 vs 1068 at the
+    # non-pow2 win 1536, B=32; full sweep table in docs/PERF_LOG.md).
     knn_block: int = 512
     # Per-neighbour recall of the approximate TPU selection (approx_min_k).
     # Descriptor fidelity is insensitive to this knob (cosine vs the 0.95

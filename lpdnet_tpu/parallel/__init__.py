@@ -1,7 +1,7 @@
 """Device-mesh parallelism (replaces the reference's ``nn.DataParallel``
 scatter/gather — SURVEY C20/C21 — with XLA collectives over ICI/DCN).
 
-Three paths, one step program:
+Four paths (the first three share one step program; SP is inference-only):
   * GSPMD data parallel (``train/step.py``) — 1-D mesh, batch-sharded;
   * explicit-collective DDP (``ddp.py``) — shard_map + pmean, per-replica BN;
   * tensor-parallel head (``tp.py``) — 2-D (data, model) mesh, Megatron-style

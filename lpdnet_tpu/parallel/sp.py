@@ -42,6 +42,7 @@ from lpdnet_tpu.configs import ModelConfig
 from lpdnet_tpu.models.lpdnet import LPDNetFeat
 from lpdnet_tpu.ops.features import eigen_features_and_knn
 from lpdnet_tpu.ops.morton import morton_sort
+from lpdnet_tpu.ops.netvlad import netvlad_finalize, netvlad_partial
 
 
 def _bn_affine(x, params, stats, eps=1e-5):
@@ -49,39 +50,22 @@ def _bn_affine(x, params, stats, eps=1e-5):
     return (x - stats["mean"]) * inv * params["scale"] + params["bias"]
 
 
-def _netvlad_partial(x, params, stats, add_batch_norm: bool):
-    """Per-point soft-assignment partials over the LOCAL rows.
-
-    x: (B, n_local, D) -> (agg (B, K, D), a_sum (B, K)) — the only
-    quantities NetVLAD reduces over the point axis (ops/netvlad.py math,
-    split at the point-sum so the sum can cross devices).
-    """
+def _assignment_logits(x, params, stats, add_batch_norm: bool):
+    """The NetVLADLoupe logits from inference params (Dense then BN affine
+    or bias — models/netvlad.py placement); the aggregation math itself is
+    the shared ops (netvlad_partial/netvlad_finalize)."""
     logits = x @ params["cluster_weights"]["kernel"]
     if add_batch_norm:
-        logits = _bn_affine(
-            logits, params["cluster_bn"], stats["cluster_bn"]
-        )
-    else:
-        logits = logits + params["cluster_weights"]["bias"]
-    a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (B, n, K)
-    agg = jnp.einsum(
-        "bnk,bnd->bkd", a, x.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    return agg, jnp.sum(a, axis=1)
+        return _bn_affine(logits, params["cluster_bn"], stats["cluster_bn"])
+    return logits + params["cluster_weights"]["bias"]
 
 
-def _netvlad_finalize(
-    agg, a_sum, params, stats, gating: bool, post_projection_bn: bool,
-    add_batch_norm: bool, eps: float = 1e-12,
+def _head_tail(
+    flat, params, stats, gating: bool, post_projection_bn: bool,
+    add_batch_norm: bool,
 ):
-    """The replicated tail: residuals vs centers, intra/global L2,
-    projection (+bn2), context gating (NetVLADLoupe semantics,
-    models/netvlad.py)."""
-    vlad = agg - a_sum[..., None] * params["cluster_centers"][None]
-    vlad = vlad / jnp.sqrt(jnp.sum(vlad * vlad, -1, keepdims=True) + eps)
-    flat = vlad.reshape(vlad.shape[0], -1)
-    flat = flat / jnp.sqrt(jnp.sum(flat * flat, -1, keepdims=True) + eps)
+    """The replicated tail after netvlad_finalize: projection (+bn2),
+    context gating (NetVLADLoupe semantics, models/netvlad.py)."""
     out = flat @ params["hidden1_weights"]["kernel"]
     if post_projection_bn:
         out = _bn_affine(out, params["hidden1_bn"], stats["hidden1_bn"])
@@ -116,11 +100,24 @@ def make_sp_embed_fn(
         raise ValueError(
             "sp embed supports the flagship on-device-features LPD path"
         )
+    if cfg.exact_knn or cfg.features.fused_stats:
+        # The single-device model disables windowing under these flags
+        # (models/model.py); a windowed SP forward would silently diverge
+        # from the audit semantics the flags promise.
+        raise ValueError(
+            "sp embed is the Morton-window approximate path; exact_knn / "
+            "fused_stats configs must use the single-device forward"
+        )
     ndev = mesh.shape[axis]
     n = cfg.num_points
     if n % ndev:
         raise ValueError(f"num_points={n} not divisible by mesh size {ndev}")
     block = n // ndev
+    if block % 8:
+        raise ValueError(
+            f"per-device block {block} must be a multiple of 8 (sublane "
+            f"alignment); use a mesh size dividing num_points/8"
+        )
     w = cfg.knn_window or 0
     if w == 0:
         raise ValueError("sp embed needs ModelConfig.knn_window set")
@@ -161,14 +158,16 @@ def make_sp_embed_fn(
         idx_xyz = idx if cfg.features.k == cfg.graph_k else None
         h = trunk.apply(trunk_vars, x13, train=False, idx_xyz=idx_xyz)
         center = jax.lax.dynamic_slice_in_dim(h, off[0], block, axis=1)
-        agg, a_sum = _netvlad_partial(
-            center.astype(jnp.float32), nv_params, nv_stats,
-            cfg.add_batch_norm,
+        center = center.astype(jnp.float32)
+        logits = _assignment_logits(
+            center, nv_params, nv_stats, cfg.add_batch_norm
         )
+        agg, a_sum = netvlad_partial(center, logits)
         agg = jax.lax.psum(agg, axis)
         a_sum = jax.lax.psum(a_sum, axis)
-        desc = _netvlad_finalize(
-            agg, a_sum, nv_params, nv_stats, cfg.gating,
+        flat = netvlad_finalize(agg, a_sum, nv_params["cluster_centers"])
+        desc = _head_tail(
+            flat, nv_params, nv_stats, cfg.gating,
             cfg.post_projection_bn, cfg.add_batch_norm,
         )
         if cfg.normalize_output:
@@ -185,8 +184,16 @@ def make_sp_embed_fn(
         check_vma=False,
     )
 
-    @jax.jit
     def embed(points):
+        if points.ndim != 3 or points.shape[1] != n or points.shape[2] != 3:
+            raise ValueError(
+                f"expected (B, {n}, 3) clouds (cfg.num_points), got "
+                f"{points.shape}"
+            )
+        return _embed(points)
+
+    @jax.jit
+    def _embed(points):
         # Sort once globally, slice the per-device windows, shard.
         pts = morton_sort(points.astype(jnp.float32))  # (B, N, 3)
         wins = jnp.stack(

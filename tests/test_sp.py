@@ -58,6 +58,17 @@ def test_sp_embed_validates_config(rng):
     model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
     with pytest.raises(ValueError, match="knn_window"):
         make_sp_embed_fn(cfg, mesh, variables)
-    cfg2 = make_cfg(trunk="pointnetvlad", knn_window=64)
     with pytest.raises(ValueError, match="LPD"):
-        make_sp_embed_fn(cfg2, mesh, variables)
+        make_sp_embed_fn(make_cfg(trunk="pointnetvlad"), mesh, variables)
+    # Audit-flag configs must be rejected, not silently windowed.
+    with pytest.raises(ValueError, match="exact_knn"):
+        make_sp_embed_fn(make_cfg(exact_knn=True), mesh, variables)
+
+
+def test_sp_embed_rejects_wrong_point_count(rng):
+    cfg = make_cfg()
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    mesh = make_mesh(8, "points")
+    fn = make_sp_embed_fn(cfg, mesh, variables)
+    with pytest.raises(ValueError, match="cfg.num_points"):
+        fn(jnp.zeros((1, 2 * N, 3)))  # silently truncating this is a bug
