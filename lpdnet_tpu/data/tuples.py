@@ -181,12 +181,6 @@ class TupleSampler:
             batch = {k: v.astype(wire) for k, v in batch.items()}
         return batch
 
-    def num_epoch_batches(self, batch_size: int) -> int:
-        eligible = sum(
-            1 for i in self.all_indices if self.has_enough_positives(i)
-        )
-        return eligible // batch_size
-
     def epoch_batches(
         self,
         batch_size: int,

@@ -34,7 +34,7 @@ from lpdnet_tpu.configs import LossConfig
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.parallel.mesh import shard_batch
 from lpdnet_tpu.train.state import TrainState
-from lpdnet_tpu.train.step import _flatten_tuples
+from lpdnet_tpu.train.step import _flatten_tuples, _tpu_compiler_options
 
 
 def make_ddp_train_step(
@@ -99,7 +99,12 @@ def make_ddp_train_step(
         check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=(0,))
+    # Same raised scoped-VMEM ceiling as the other train steps: the
+    # multi-accumulator eq-mask scatter backward (Pallas gather VJP) needs
+    # ~18 MB of scoped VMEM on TPU backends.
+    @partial(
+        jax.jit, donate_argnums=(0,), compiler_options=_tpu_compiler_options()
+    )
     def step(state: TrainState, batch):
         grads, stats, loss = sharded(state.params, state.batch_stats, batch)
         new_state = state.apply_gradients(grads=grads, batch_stats=stats)

@@ -199,9 +199,10 @@ def train(
         # randomness keyed by (seed, epoch, batch index): resuming from a
         # mid-epoch checkpoint replays the exact remaining schedule without
         # replaying the consumed random draws (SURVEY §5 failure-recovery).
-        rng_np = np.random.RandomState(
-            (tc.seed * 1_000_003 + epoch) % (2**31 - 1)
-        )
+        def epoch_rng(_epoch=epoch):
+            return np.random.RandomState(
+                (tc.seed * 1_000_003 + _epoch) % (2**31 - 1)
+            )
 
         def batch_rng(bi, _epoch=epoch):
             ss = np.random.SeedSequence([tc.seed, _epoch, bi])
@@ -226,49 +227,73 @@ def train(
         queries_done = resumed_queries if epoch == start_epoch else 0
         cadence = mining.cache_refresh_queries
         next_refresh = (queries_done // cadence + 1) * cadence
+
         # Tuple building/augmentation overlaps the device step — the
         # reference assembles tuples synchronously inside its hot loop
-        # (SURVEY §3.1 "CPU HOT SPOT").
-        batches = prefetch_iterator(
-            res.sampler.epoch_batches(
-                global_batch,
-                rng_np,
-                hard_negs_fn=hard_fn if use_hard else None,
-                start_batch=epoch_start_batch,
-                batch_rng_fn=batch_rng,
-                rotate=cfg.data.augment_rotate,
-                jitter=cfg.data.augment_jitter,
-                rotation_max_deg=cfg.data.rotation_max_deg,
-                jitter_sigma=cfg.data.jitter_sigma,
-                jitter_clip=cfg.data.jitter_clip,
-                transfer_dtype=tc.transfer_dtype,
+        # (SURVEY §3.1 "CPU HOT SPOT"). A fresh epoch RNG per pipeline
+        # (re)start keeps the shuffle identical across restarts.
+        def make_batches(seg_start):
+            return prefetch_iterator(
+                res.sampler.epoch_batches(
+                    global_batch,
+                    epoch_rng(),
+                    hard_negs_fn=hard_fn if use_hard else None,
+                    start_batch=seg_start,
+                    batch_rng_fn=batch_rng,
+                    rotate=cfg.data.augment_rotate,
+                    jitter=cfg.data.augment_jitter,
+                    rotation_max_deg=cfg.data.rotation_max_deg,
+                    jitter_sigma=cfg.data.jitter_sigma,
+                    jitter_clip=cfg.data.jitter_clip,
+                    transfer_dtype=tc.transfer_dtype,
+                )
             )
-        )
-        for off, (ids, batch) in enumerate(batches):
-            bi = epoch_start_batch + off
-            if mesh is not None:
-                batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
-            state, loss = train_step(state, batch)
-            losses.append(loss)
-            queries_done += len(ids)
-            if use_hard and queries_done >= next_refresh:
-                refresh_cache(epoch, queries_done)
-                next_refresh += cadence
-            if tc.checkpoint_every_steps and (
-                (bi + 1) % tc.checkpoint_every_steps == 0
-            ):
-                # Async mid-epoch save carrying the exact resume position
-                # (device_get syncs this step's state to host first).
-                saved = jax.device_get(state)
-                key = int(saved.step)
-                ckpt.save(
-                    key, saved, epoch=epoch,
-                    extra=checkpoint_extra(epoch, bi + 1, queries_done),
+
+        seg_start = epoch_start_batch
+        restart = True
+        while restart:
+            restart = False
+            batches = make_batches(seg_start)
+            for off, (ids, batch) in enumerate(batches):
+                bi = seg_start + off
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
+                state, loss = train_step(state, batch)
+                losses.append(loss)
+                queries_done += len(ids)
+                do_ckpt = tc.checkpoint_every_steps and (
+                    (bi + 1) % tc.checkpoint_every_steps == 0
                 )
-                saved_keys.add(key)
-                logger.log(
-                    "checkpoint", step=key, epoch=epoch, batch=bi + 1,
-                )
+                do_refresh = use_hard and queries_done >= next_refresh
+                if do_refresh:
+                    refresh_cache(epoch, queries_done)
+                    next_refresh += cadence
+                if do_ckpt:
+                    # Async mid-epoch save carrying the exact resume
+                    # position (device_get syncs this step's state to host
+                    # first). Ordered AFTER a same-step refresh so the
+                    # mining sidecar snapshots the vectors batches > bi
+                    # will actually use.
+                    saved = jax.device_get(state)
+                    key = int(saved.step)
+                    ckpt.save(
+                        key, saved, epoch=epoch,
+                        extra=checkpoint_extra(epoch, bi + 1, queries_done),
+                    )
+                    saved_keys.add(key)
+                    logger.log(
+                        "checkpoint", step=key, epoch=epoch, batch=bi + 1,
+                    )
+                if do_refresh:
+                    # Batches prefetched before the refresh were assembled
+                    # against the stale descriptor cache; drop them and
+                    # restart the pipeline at bi+1 so the refresh takes
+                    # effect at a DETERMINISTIC batch boundary (exact
+                    # mid-epoch resume must not depend on prefetch timing).
+                    seg_start = bi + 1
+                    restart = True
+                    batches.close()
+                    break
 
         epoch_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         logger.log(

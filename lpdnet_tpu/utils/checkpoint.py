@@ -73,6 +73,7 @@ class CheckpointManager:
                 max_to_keep=keep, create=True
             ),
         )
+        self._restored_key: Optional[int] = None
 
     def save(
         self,
@@ -89,6 +90,23 @@ class CheckpointManager:
         keeps a fixed structure (evaluate/tests restore without knowing
         extra shapes)."""
         key = int(key)
+        if key in set(self._mgr.all_steps()):
+            # Only ONE collision is legitimate: re-saving the exact key a
+            # degenerate resume just restored (state on disk is identical —
+            # advance the position sidecar only). Anything else means a
+            # fresh run is writing into a log dir that already holds a
+            # different run's checkpoints: swallowing that would silently
+            # drop the new state while the sidecar advances, corrupting a
+            # later resume.
+            if key != self._restored_key:
+                raise FileExistsError(
+                    f"checkpoint key {key} already exists in "
+                    f"{self.directory} (from a previous run?); resume it "
+                    f"with --resume or use a fresh log_dir"
+                )
+            if extra is not None:
+                self.save_extra_only(key, extra)
+            return
         if extra is not None:
             import numpy as _np
 
@@ -103,11 +121,7 @@ class CheckpointManager:
             },
             "epoch": epoch,
         }
-        try:
-            self._mgr.save(key, args=ocp.args.StandardSave(payload))
-        except Exception as e:  # key already on disk (e.g. degenerate
-            if "exist" not in str(e).lower():  # resume): state is identical,
-                raise  # the sidecar above already advanced the position.
+        self._mgr.save(key, args=ocp.args.StandardSave(payload))
         if wait:
             self._mgr.wait_until_finished()
 
@@ -163,6 +177,7 @@ class CheckpointManager:
         key = key if key is not None else self._mgr.latest_step()
         if key is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        self._restored_key = int(key)
         restored = self._mgr.restore(
             key, args=ocp.args.StandardRestore(target)
         )

@@ -22,27 +22,52 @@ T = TypeVar("T")
 def prefetch_iterator(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Run a (host-side NumPy) iterator in a background thread so item
     assembly overlaps the consumer's device work. Exceptions propagate to
-    the consumer."""
+    the consumer.
+
+    Closing the generator early (``gen.close()`` / abandoning it) STOPS the
+    worker thread promptly instead of leaking it blocked on a full queue —
+    the train loop drops the pipeline mid-epoch at mining-refresh
+    boundaries (train/loop.py) and rebuilds it, so in-flight batches built
+    against the stale descriptor cache are discarded deterministically."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # noqa: BLE001 - relay to consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker stuck on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def pipelined_embed(

@@ -23,19 +23,30 @@ N = 48
 
 
 class KillingSampler(TupleSampler):
-    """Raises after yielding ``kill_after`` batches across all epochs —
-    a crash simulation inside the (prefetch-threaded) data pipeline."""
+    """Raises when asked for the batch at global position ``kill_after`` —
+    a crash simulation inside the (prefetch-threaded) data pipeline.
+    Counted by UNIQUE batch index (epochs tracked via start_batch==0
+    rollovers), not by build count: mining-refresh boundaries restart the
+    pipeline and legitimately REBUILD the prefetched batches they
+    discarded, which must not advance the countdown."""
 
-    def __init__(self, *args, kill_after: int, **kwargs):
+    def __init__(self, *args, kill_after: int, batches_per_epoch: int = 6,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.kill_after = kill_after
-        self.yielded = 0
+        self.batches_per_epoch = batches_per_epoch
+        self.epoch = -1
 
-    def epoch_batches(self, *args, **kwargs):
-        for item in super().epoch_batches(*args, **kwargs):
-            if self.yielded >= self.kill_after:
+    def epoch_batches(self, batch_size, rng, *args, start_batch=0, **kwargs):
+        if start_batch == 0:
+            self.epoch += 1
+        inner = super().epoch_batches(
+            batch_size, rng, *args, start_batch=start_batch, **kwargs
+        )
+        for off, item in enumerate(inner):
+            gpos = self.epoch * self.batches_per_epoch + start_batch + off
+            if gpos >= self.kill_after:
                 raise RuntimeError("simulated crash")
-            self.yielded += 1
             yield item
 
 
@@ -135,6 +146,67 @@ def test_kill_and_resume_reproduces_uninterrupted_run(tmp_path):
     assert int(out_c["state"].step) == 12
     for a, c in zip(leaves(out_a["state"]), leaves(out_c["state"])):
         np.testing.assert_allclose(a, c, rtol=0, atol=1e-7)
+
+
+def test_fresh_run_into_existing_log_dir_fails_loud(tmp_path):
+    """A non-resume run whose step keys collide with a previous run's
+    checkpoints must raise, not silently drop the save while the resume
+    sidecar advances (that combination corrupts a later --resume)."""
+    import pytest
+
+    from lpdnet_tpu.configs import ModelConfig, TrainConfig
+    from lpdnet_tpu.train.state import create_train_state
+    from lpdnet_tpu.utils.checkpoint import CheckpointManager
+
+    cfg_m = ModelConfig(
+        trunk="pointnetvlad", num_points=32, feature_dim=16, num_clusters=4,
+        output_dim=8, use_input_transform=False,
+    )
+    _, state = create_train_state(cfg_m, TrainConfig(), jax.random.key(0))
+
+    d = str(tmp_path / "ck")
+    m1 = CheckpointManager(d)
+    m1.save(5, state, epoch=0, extra={"epoch": 0}, wait=True)
+    m1.close()
+
+    # "Second run" (no restore) colliding on the same key.
+    m2 = CheckpointManager(d)
+    with pytest.raises(FileExistsError, match="already exists"):
+        m2.save(5, state, epoch=0, extra={"epoch": 9})
+    # The sidecar must NOT have been advanced by the failed save.
+    assert int(m2.load_extra(5)["epoch"]) == 0
+    # After an explicit restore, re-saving the restored key is the
+    # legitimate degenerate-resume case: position advances, no error.
+    m2.restore(state, 5)
+    m2.save(5, state, epoch=0, extra={"epoch": 9})
+    assert int(m2.load_extra(5)["epoch"]) == 9
+    m2.close()
+
+
+def test_prefetch_iterator_close_stops_worker():
+    """Abandoning the pipeline mid-stream (the mining-refresh restart)
+    must stop the worker thread instead of leaking it on a full queue."""
+    import threading
+    import time
+
+    from lpdnet_tpu.utils.pipeline import prefetch_iterator
+
+    before = threading.active_count()
+    produced = []
+
+    def slow_source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch_iterator(slow_source(), depth=2)
+    assert next(it) == 0
+    it.close()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 1000  # the source was actually abandoned
 
 
 def test_epoch_boundary_resume_still_works(tmp_path):
