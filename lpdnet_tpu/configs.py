@@ -191,11 +191,16 @@ class TrainConfig:
     # 0 = epoch-granular only.
     checkpoint_every_steps: int = 0
     keep_checkpoints: int = 3
-    # Wire format of the per-step tuple upload (the step casts back to f32
-    # before compute, mirroring the eval sweeps' f16 wire): 'float16'
-    # halves the host->device batch transfer; quantization ~6e-4 on
-    # normalized coordinates, an order of magnitude below jitter sigma.
-    transfer_dtype: str = "float16"
+    # Wire format of the per-step tuple upload (the step decodes back to
+    # f32 before compute, mirroring the eval sweeps' wire — utils/wire.py):
+    # 'float16' (~6e-4 quantization) or 'int16' fixed-point (~3e-5) halve
+    # the host->device batch transfer. 'auto' (default) = 'int16' when
+    # jitter augmentation is on (jitter sigma 5e-3 dwarfs the
+    # quantization) but 'float32' when jitter is disabled, where wire
+    # rounding would otherwise become the dominant input perturbation and
+    # silently change training numerics (ADVICE round 2). Set explicitly
+    # to force a format.
+    transfer_dtype: str = "auto"
     loss: LossConfig = field(default_factory=LossConfig)
     mining: MiningConfig = field(default_factory=MiningConfig)
 
@@ -206,6 +211,15 @@ class TrainConfig:
         return 1 + self.positives_per_query + self.negatives_per_query + 1
 
 
+def resolve_transfer_dtype(value: str, jitter_enabled: bool) -> str:
+    """Resolve TrainConfig.transfer_dtype's 'auto' sentinel: a half-size
+    wire only by default when jitter augmentation already perturbs the
+    inputs at >100x the int16 quantization step."""
+    if value == "auto":
+        return "int16" if jitter_enabled else "float32"
+    return value
+
+
 @dataclass(frozen=True)
 class EvalConfig:
     """Retrieval benchmark (reference: ``evaluate.py`` — SURVEY C18)."""
@@ -213,11 +227,16 @@ class EvalConfig:
     batch_size: int = 64  # EVAL_BATCH_SIZE (descriptor extraction)
     top_k: int = 25  # recall@1..25 curve
     output_file: str = "results.txt"
-    # Wire format for descriptor-sweep uploads (eval + mining): 'float16'
-    # halves host->device transfer (the bottleneck on tunneled chips; this
-    # image uploads at ~38 MB/s) and is retrieval-neutral (descriptor
-    # cosine 0.999998 vs f32 — the cast back to f32 precedes all compute).
-    transfer_dtype: str = "float16"
+    # Wire format for descriptor-sweep uploads (eval + mining,
+    # utils/wire.py): 'int8' fixed-point QUARTERS the host->device
+    # transfer (the bottleneck on tunneled/slow-DMA hosts; 12 KB per
+    # 4096-pt submap). Quantization ~7.8e-3 on normalized submaps is
+    # measured retrieval-neutral at full scale: flagship descriptor
+    # cosine >= 0.99999 vs the f32 upload (PERF_LOG round 3). 'int16'
+    # (~3e-5, half-size) for audits; out-of-range batches (|x| > 2)
+    # fall back to f16 with a warning. The decode to f32 precedes all
+    # compute.
+    transfer_dtype: str = "int8"
     # >1: chain this many batches per device dispatch via lax.scan
     # (make_embed_many_fn) — pays only on hosts with fast DMA; 0/1 =
     # per-batch dispatches with deep async pipelining (default).
@@ -294,6 +313,17 @@ PRESETS = {
     "lpd_baseline": lpd_baseline_config,
     "refine": refine_config,
 }
+
+
+def parse_override_value(text: str):
+    """Parse a CLI ``--set key=value`` value: JSON when it parses (ints,
+    floats, bools, null->None, quoted strings), bare string otherwise."""
+    import json
+
+    try:
+        return json.loads(text)
+    except (ValueError, TypeError):
+        return text
 
 
 def apply_overrides(cfg: Config, **overrides) -> Config:

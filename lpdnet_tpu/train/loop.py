@@ -17,7 +17,7 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from lpdnet_tpu.configs import Config
+from lpdnet_tpu.configs import Config, resolve_transfer_dtype
 from lpdnet_tpu.data.tuples import TupleSampler
 from lpdnet_tpu.eval.evaluate import evaluate_model, write_results
 from lpdnet_tpu.parallel.mesh import (
@@ -29,7 +29,7 @@ from lpdnet_tpu.train.step import (
     make_embed_fn, make_embed_many_fn, make_train_step,
 )
 from lpdnet_tpu.utils.checkpoint import CheckpointManager, save_config
-from lpdnet_tpu.utils.logging import MetricsLogger
+from lpdnet_tpu.utils.logging import MetricsLogger, NullLogger
 from lpdnet_tpu.utils.pipeline import prefetch_iterator
 
 
@@ -51,12 +51,32 @@ def train(
 ) -> Dict[str, object]:
     """Run training; returns final state + last eval results."""
     tc = cfg.train
-    logger = logger or MetricsLogger(tc.log_dir)
-    save_config(cfg, tc.log_dir)
+
+    # Multi-process runs (jax.distributed initialized before this call —
+    # parallel/multiprocess.py): every process executes the same loop over
+    # the same global mesh; only process 0 writes config/metrics/
+    # checkpoints/reports.
+    nproc = jax.process_count()
+    primary = jax.process_index() == 0
+    if primary:
+        logger = logger or MetricsLogger(tc.log_dir)
+        save_config(cfg, tc.log_dir)
+    else:
+        if logger is not None:
+            logger.close()
+        logger = NullLogger()
 
     mesh = None
     global_batch = tc.batch_num_queries
     mp = cfg.mesh.model_devices if use_mesh else 1
+    if nproc > 1 and mp > 1:
+        raise NotImplementedError(
+            "tensor parallelism across processes is not supported yet: "
+            "the model-sharded state cannot be checkpointed/restored "
+            "host-locally (set mesh.model_devices=1 for multi-process runs)"
+        )
+    if nproc > 1 and not use_mesh:
+        raise ValueError("multi-process training requires the mesh path")
     if use_mesh:
         avail = cfg.mesh.num_devices or len(jax.devices())
         avail_data = avail // mp
@@ -79,6 +99,14 @@ def train(
                 avail_data, tc.batch_num_queries, cfg.eval.batch_size
             )
         if ndev * mp != avail:
+            if nproc > 1:
+                # A shrunk mesh could leave a process with no devices on
+                # the data axis; sizes must divide cleanly across hosts.
+                raise ValueError(
+                    f"multi-process mesh must use all {avail} devices; "
+                    f"largest fit is {ndev * mp} (check eval.batch_size "
+                    f"and batch_num_queries divisibility)"
+                )
             logger.log(
                 "mesh_shrunk", requested=avail, used=ndev * mp,
                 batch_num_queries=tc.batch_num_queries,
@@ -138,6 +166,24 @@ def train(
             if cfg.eval.sweep_chunk > 1 else None
         )
 
+    # Multi-process sweeps (mining refresh + eval): each process loads and
+    # uploads only its own rows of every padded batch; the wrapper builds
+    # the global array for the unchanged collective embed program.
+    sweep_fn, sweep_rows = embed_fn, None
+    if nproc > 1:
+        from lpdnet_tpu.parallel.multiprocess import (
+            make_mp_sweep_embed_fn, sweep_local_rows,
+        )
+
+        sweep_rows = sweep_local_rows(
+            mesh, cfg.mesh.data_axis, cfg.eval.batch_size
+        )
+        if sweep_rows is not None:
+            sweep_fn = make_mp_sweep_embed_fn(
+                embed_fn, mesh, cfg.mesh.data_axis, cfg.eval.batch_size
+            )
+            embed_many_fn = None  # scan-chunk sweep is single-process-only
+
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
     )
@@ -175,9 +221,10 @@ def train(
 
     def refresh_cache(epoch, queries):
         cache.refresh(
-            embed_fn, model_vars(state), embed_many_fn=embed_many_fn,
+            sweep_fn, model_vars(state), embed_many_fn=embed_many_fn,
             chunk=cfg.eval.sweep_chunk,
             transfer_dtype=cfg.eval.transfer_dtype,
+            local_rows=sweep_rows,
         )
         logger.log("mining_cache_refresh", epoch=epoch, queries=queries)
 
@@ -245,7 +292,9 @@ def train(
                     rotation_max_deg=cfg.data.rotation_max_deg,
                     jitter_sigma=cfg.data.jitter_sigma,
                     jitter_clip=cfg.data.jitter_clip,
-                    transfer_dtype=tc.transfer_dtype,
+                    transfer_dtype=resolve_transfer_dtype(
+                        tc.transfer_dtype, cfg.data.augment_jitter
+                    ),
                 )
             )
 
@@ -261,6 +310,10 @@ def train(
                 state, loss = train_step(state, batch)
                 losses.append(loss)
                 queries_done += len(ids)
+                # NB: in multi-process runs EVERY process must reach
+                # ckpt.save — Orbax's save/close carry global barriers;
+                # the manager itself writes once (checkpoint.py guards
+                # the host-side sidecar to process 0).
                 do_ckpt = tc.checkpoint_every_steps and (
                     (bi + 1) % tc.checkpoint_every_steps == 0
                 )
@@ -317,7 +370,7 @@ def train(
             and (epoch + 1) % tc.eval_every_epochs == 0
         ):
             results = evaluate_model(
-                embed_fn,
+                sweep_fn,
                 model_vars(state),
                 res.database_sets,
                 res.query_sets,
@@ -327,6 +380,7 @@ def train(
                 embed_many_fn=embed_many_fn,
                 chunk=cfg.eval.sweep_chunk,
                 transfer_dtype=cfg.eval.transfer_dtype,
+                local_rows=sweep_rows,
             )
             logger.log(
                 "eval",
@@ -334,7 +388,10 @@ def train(
                 one_percent_recall=results["ave_one_percent_recall"],
                 recall_at_1=float(np.asarray(results["ave_recall"])[0]),
             )
-            write_results(results, f"{tc.log_dir}/{cfg.eval.output_file}")
+            if primary:
+                write_results(
+                    results, f"{tc.log_dir}/{cfg.eval.output_file}"
+                )
 
     ckpt.close()
     return {"state": jax.device_get(state), "eval": results, "model": model}

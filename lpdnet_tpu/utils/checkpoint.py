@@ -41,6 +41,21 @@ def load_config(log_dir: str):
         return None
     with open(path) as f:
         raw = json.load(f)
+    if "knn_window" not in raw["model"]:
+        # Config saved before the Morton-window field existed: letting it
+        # inherit the current default (256) would silently evaluate an
+        # old checkpoint under approximate-kNN forward semantics it was
+        # never trained or audited with. Pin the old exact-scan behavior
+        # and say so (ADVICE round 2).
+        import warnings
+
+        warnings.warn(
+            f"{path} predates ModelConfig.knn_window; pinning "
+            "knn_window=None (exact full-scan kNN, the behavior when it "
+            "was saved) instead of the current approximate default",
+            stacklevel=2,
+        )
+        raw["model"]["knn_window"] = None
     return C.Config(
         model=C.ModelConfig(
             **{**raw["model"],
@@ -107,7 +122,10 @@ class CheckpointManager:
             if extra is not None:
                 self.save_extra_only(key, extra)
             return
-        if extra is not None:
+        if extra is not None and jax.process_index() == 0:
+            # Host-side sidecar: one writer only (Orbax's own multihost
+            # logic handles the payload; every process still calls
+            # self._mgr.save below — it carries a global barrier).
             import numpy as _np
 
             _np.savez(self._extra_path(key), **extra)
@@ -142,6 +160,8 @@ class CheckpointManager:
         """Overwrite just the position sidecar of an already-saved key
         (e.g. a step save landing on the epoch boundary: the state is
         identical, only the resume position advances)."""
+        if jax.process_index() != 0:
+            return
         import numpy as _np
 
         _np.savez(self._extra_path(int(key)), **extra)

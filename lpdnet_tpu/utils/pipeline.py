@@ -65,9 +65,21 @@ def prefetch_iterator(it: Iterable[T], depth: int = 2) -> Iterator[T]:
         stop.set()
         while True:  # unblock a worker stuck on a full queue
             try:
-                q.get_nowait()
+                item = q.get_nowait()
             except queue.Empty:
                 break
+            if isinstance(item, BaseException):
+                # A relayed worker error was in flight when the consumer
+                # closed the pipeline (e.g. a mining-refresh restart).
+                # Dropping it silently could hide a nondeterministic I/O
+                # failure that the rebuilt pipeline never re-hits — log it
+                # (raising here would mask the close path) (ADVICE round 2).
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "prefetch worker error discarded at pipeline close: %r",
+                    item,
+                )
 
 
 def pipelined_embed(

@@ -58,3 +58,32 @@ def test_config_json_roundtrip(tmp_path):
 
 def test_load_config_missing(tmp_path):
     assert load_config(str(tmp_path / "nope")) is None
+
+
+def test_load_config_pre_knn_window_pins_exact(tmp_path):
+    """config.json files saved before ModelConfig.knn_window existed must
+    restore with the exact full-scan semantics they were trained with, not
+    the current approximate default (ADVICE round 2)."""
+    import json
+
+    import pytest
+
+    cfg = Config()
+    save_config(cfg, str(tmp_path))
+    path = tmp_path / "config.json"
+    raw = json.loads(path.read_text())
+    del raw["model"]["knn_window"]
+    path.write_text(json.dumps(raw))
+    with pytest.warns(UserWarning, match="knn_window"):
+        back = load_config(str(tmp_path))
+    assert back.model.knn_window is None
+
+
+def test_resolve_transfer_dtype_auto():
+    from lpdnet_tpu.configs import resolve_transfer_dtype
+
+    assert resolve_transfer_dtype("auto", True) == "int16"
+    assert resolve_transfer_dtype("auto", False) == "float32"
+    # Explicit settings pass through untouched.
+    assert resolve_transfer_dtype("float16", False) == "float16"
+    assert resolve_transfer_dtype("float32", True) == "float32"

@@ -4,6 +4,7 @@ n-device fleet no matter what state the calling process's JAX backend is in
 a 1-device backend before the dryrun could set platform/device-count knobs).
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -26,6 +27,7 @@ def _clean_env(**extra):
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_from_initialized_1_device_backend():
     """Worst case: the caller already initialized a 1-device backend before
     calling dryrun_multichip (the round-1 driver scenario). Must fall back
@@ -52,6 +54,7 @@ def test_dryrun_multichip_from_initialized_1_device_backend():
     assert "dryrun_multichip(8)" in proc.stdout, proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_cli_fresh_process():
     """Driver-style invocation in a fresh interpreter with no fleet
     pre-arranged: the in-process bootstrap must build the virtual fleet."""

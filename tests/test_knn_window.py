@@ -106,6 +106,7 @@ def test_windowed_feature_stage_close_to_full(rng):
     assert diff.mean() < 0.05
 
 
+@pytest.mark.slow
 def test_sorted_model_descriptor_matches_unsorted(rng):
     # The descriptor must be invariant to the Morton sort itself: the same
     # model run on full scans must produce the same descriptor for sorted

@@ -2,6 +2,7 @@
 train step must match the single-device step numerically, and batches must
 actually shard (SURVEY §4 "distributed without a cluster")."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,7 @@ def test_sharded_step_matches_single_device():
         assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_gradients_match_single_device():
     # Gradients (pre-optimizer) must agree across the sharding boundary —
     # comparing post-Adam params would amplify float-order noise in
@@ -182,6 +184,7 @@ def test_train_loop_fit_mode_shrinks_mesh_to_divide_batch(tmp_path):
     assert int(out["state"].step) > 0
 
 
+@pytest.mark.slow
 def test_per_device_batch_scaling_matches_single_device_trajectory(tmp_path):
     """batch_scaling='per_device' (default): the global batch scales with
     the mesh (B x ndev, no idle chips — VERDICT round 1 weak #3), and the

@@ -4,6 +4,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from lpdnet_tpu.configs import (
     Config, DataConfig, EvalConfig, MeshConfig, ModelConfig, TrainConfig,
@@ -49,6 +50,7 @@ def test_same_seed_same_trajectory(tmp_path):
     np.testing.assert_allclose(a, b, rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_different_seed_different_trajectory(tmp_path):
     a = _run(tmp_path, "c", seed=7)
     b = _run(tmp_path, "d", seed=8)

@@ -88,6 +88,7 @@ def leaves(state):
     ]
 
 
+@pytest.mark.slow
 def test_kill_and_resume_reproduces_uninterrupted_run(tmp_path):
     ds = make_ds()
 
@@ -209,6 +210,7 @@ def test_prefetch_iterator_close_stops_worker():
     assert len(produced) < 1000  # the source was actually abandoned
 
 
+@pytest.mark.slow
 def test_epoch_boundary_resume_still_works(tmp_path):
     """The pre-existing whole-epoch resume path through the new
     position-sidecar machinery: stop after epoch 0, resume into epoch 1."""

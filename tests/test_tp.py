@@ -3,6 +3,7 @@
 parameters are ACTUALLY sharded (SURVEY §4 "distributed without a cluster";
 parallelism beyond the reference's DataParallel — SURVEY C20)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -151,6 +152,7 @@ def test_tp_embed_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_tp_train_loop_matches_data_parallel_trajectory(tmp_path):
     """End-to-end: the loop on an 8-device (4 data x 2 model) mesh must
     reproduce the 4-device pure-data-parallel loop on the same global batch

@@ -102,6 +102,7 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     assert "Average Top 1% Recall" in text
 
 
+@pytest.mark.slow
 def test_lpd_training_loop_learns(dataset, tmp_path):
     """The LPD trunk (on-device features + dual graph) must also learn the
     synthetic places — guards feature-scale regressions (raw density once
