@@ -23,6 +23,52 @@ import time
 import numpy as np
 
 
+# Peak dense bf16 matmul FLOP/s per chip, by PJRT device_kind (public specs).
+# MFU = achieved FLOP/s (XLA cost_analysis of the compiled program) / peak.
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def _peak_flops() -> float:
+    """Peak bf16 FLOP/s of device 0, or 0.0 when unknown (CPU, new kinds)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return 0.0
+
+
+def _aot_compile(jitted, *args):
+    """One AOT compile (reused for execution, so the program compiles
+    exactly once) + its FLOP count from XLA cost analysis (scan trip
+    counts included; 0.0 if the backend can't report it)."""
+    compiled = jitted.lower(*args).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        flops = 0.0
+    return compiled, flops
+
+
+def _mfu(flops_total: float, seconds: float) -> float:
+    """Model FLOP utilization vs the chip's bf16 peak (0.0 when unknown)."""
+    peak = _peak_flops()
+    if not peak or not flops_total or seconds <= 0:
+        return 0.0
+    return flops_total / seconds / peak
+
+
 def bench_throughput(
     batch_sizes=(16, 32, 64),
     iters: int = 10,
@@ -60,26 +106,36 @@ def bench_throughput(
     rs = np.random.RandomState(0)
     best = 0.0
     best_bs = 0
+    best_mfu = 0.0
+    gflops_per_submap = 0.0
     for bs in batch_sizes:
         pts = jnp.asarray(
             rs.randn(bs, cfg.num_points, 3).astype(np.float32) * 0.3
         )
         try:
-            np.asarray(run(variables, pts))  # compile + warm
+            # NB: XLA cost_analysis counts a scan body ONCE (trip count
+            # NOT multiplied — verified empirically), so `flops` is one
+            # forward's cost and the measurement covers `iters` of them.
+            run_c, flops = _aot_compile(run, variables, pts)
+            np.asarray(run_c(variables, pts))  # warm
             t0 = time.perf_counter()
-            np.asarray(run(variables, pts))  # host transfer = full sync
+            np.asarray(run_c(variables, pts))  # host transfer = full sync
             dt = time.perf_counter() - t0
         except Exception as e:  # OOM at large batch: stop scaling up
             print(f"batch {bs}: {type(e).__name__}: {e}", file=sys.stderr)
             break
         rate = bs * iters / dt
+        mfu = _mfu(flops * iters, dt)
+        gflops_per_submap = flops / bs / 1e9
         print(
-            f"batch {bs}: {rate:.1f} submaps/s ({dt / iters * 1e3:.2f} ms/iter)",
+            f"batch {bs}: {rate:.1f} submaps/s ({dt / iters * 1e3:.2f} "
+            f"ms/iter, {gflops_per_submap:.2f} GFLOP/submap, "
+            f"mfu {mfu * 100:.2f}%)",
             file=sys.stderr,
         )
         if rate > best:
-            best, best_bs = rate, bs
-    return best, best_bs
+            best, best_bs, best_mfu = rate, bs, mfu
+    return best, best_bs, best_mfu, gflops_per_submap
 
 
 def bench_train_step(batch_queries=2, iters=8):
@@ -106,21 +162,24 @@ def bench_train_step(batch_queries=2, iters=8):
         "negatives": jnp.asarray(rs.randn(batch_queries, 18, n, 3).astype(np.float32) * 0.3),
         "other_neg": jnp.asarray(rs.randn(batch_queries, n, 3).astype(np.float32) * 0.3),
     }
-    state, loss = step(state, batch)
-    np.asarray(loss)  # compile + sync
+    step_c, step_flops = _aot_compile(step, state, batch)
+    state, loss = step_c(state, batch)
+    np.asarray(loss)  # warm + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, batch)
+        state, loss = step_c(state, batch)
     np.asarray(loss)
     dt = time.perf_counter() - t0
     queries_per_sec = batch_queries * iters / dt
     submaps_per_sec = queries_per_sec * 22
+    mfu = _mfu(step_flops * iters, dt)
     print(
         f"train step: {dt / iters * 1e3:.1f} ms "
-        f"({queries_per_sec:.2f} queries/s, {submaps_per_sec:.1f} submaps/s)",
+        f"({queries_per_sec:.2f} queries/s, {submaps_per_sec:.1f} submaps/s, "
+        f"{step_flops / 1e9:.1f} GFLOP/step, mfu {mfu * 100:.2f}%)",
         file=sys.stderr,
     )
-    return queries_per_sec, submaps_per_sec
+    return queries_per_sec, submaps_per_sec, mfu
 
 
 def bench_eval(
@@ -189,7 +248,7 @@ def bench_eval(
         warm = {i: database_sets[0][i] for i in range(batch_size)}
         get_latent_vectors(
             embed, variables, warm, loader, batch_size, batch_loader,
-            transfer_dtype="float16",
+            transfer_dtype="int8",
         )
         np.asarray(
             knn_retrieve(
@@ -203,14 +262,14 @@ def bench_eval(
         db_vecs = [
             get_latent_vectors(
                 embed, variables, s, loader, batch_size, batch_loader,
-                transfer_dtype="float16",
+                transfer_dtype="int8",
             )
             for s in database_sets
         ]
         q_vecs = [
             get_latent_vectors(
                 embed, variables, s, loader, batch_size, batch_loader,
-                transfer_dtype="float16",
+                transfer_dtype="int8",
             )
             for s in query_sets
         ]
@@ -248,10 +307,10 @@ def bench_latency(iters: int = 50):
     place-recognition online path (embed a just-captured submap). Reuses
     the throughput harness (same scan-chained measurement protocol) at
     batch size 1; reports ms/submap."""
-    rate, _ = bench_throughput(batch_sizes=(1,), iters=iters)
+    rate, _, mfu, _ = bench_throughput(batch_sizes=(1,), iters=iters)
     ms = 1e3 / rate
     print(f"latency: {ms:.2f} ms/submap (B=1)", file=sys.stderr)
-    return ms
+    return ms, mfu
 
 
 def main():
@@ -269,7 +328,7 @@ def main():
 
     enable_compilation_cache()
     if args.mode == "latency":
-        ms = bench_latency()
+        ms, mfu = bench_latency()
         print(json.dumps({
             "metric": "embed_latency_ms_per_submap",
             "value": round(ms, 2),
@@ -278,18 +337,21 @@ def main():
             "detail": {
                 "model": "lpdnet bf16, B=1 single-submap serving path",
                 "num_points": 4096,
+                "mfu": round(mfu, 4),
             },
         }))
         return
     if args.mode == "pointnetvlad":
-        best, best_bs = bench_throughput(trunk="pointnetvlad")
+        best, best_bs, mfu, gflops = bench_throughput(trunk="pointnetvlad")
         print(json.dumps({
             "metric": "pointnetvlad_submaps_per_sec_per_chip",
             "value": round(best, 2),
             "unit": "submaps/s",
             "vs_baseline": round(best / 1000.0, 4),
             "detail": {"model": "pointnetvlad bf16 (STN + shared MLP + NetVLAD)",
-                       "num_points": 4096, "best_batch": best_bs},
+                       "num_points": 4096, "best_batch": best_bs,
+                       "mfu": round(mfu, 4),
+                       "gflops_per_submap": round(gflops, 2)},
         }))
         return
     if args.mode == "eval":
@@ -309,7 +371,7 @@ def main():
         }))
         return
     if args.mode == "train":
-        qps, sps = bench_train_step()
+        qps, sps, mfu = bench_train_step()
         print(json.dumps({
             "metric": "train_queries_per_sec_per_chip",
             "value": round(qps, 3),
@@ -319,6 +381,7 @@ def main():
                 "model": "lpdnet bf16, lazy quadruplet, B=2 ref config",
                 "tuples": "1q + 2pos + 18neg + other",
                 "submaps_per_sec": round(sps, 1),
+                "mfu": round(mfu, 4),
             },
         }))
         return
@@ -326,7 +389,7 @@ def main():
         import jax.profiler
 
         jax.profiler.start_trace(args.trace)
-    best, best_bs = bench_throughput()
+    best, best_bs, mfu, gflops = bench_throughput()
     if args.trace:
         import jax.profiler
 
@@ -341,6 +404,8 @@ def main():
             "model": "lpdnet bf16 (on-device 10-D features + dual-kNN + NetVLAD)",
             "num_points": 4096,
             "best_batch": best_bs,
+            "mfu": round(mfu, 4),
+            "gflops_per_submap": round(gflops, 2),
             "baseline": "north-star 1000 submaps/s/chip (BASELINE.json)",
         },
     }
