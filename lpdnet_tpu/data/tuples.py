@@ -139,11 +139,12 @@ class TupleSampler:
         flat stack of all submaps in the batch, one independent draw per
         submap.
 
-        ``transfer_dtype='float16'`` emits the batch in a half-precision
-        wire format (the device step casts back to f32 before compute):
-        halves the per-step host->device upload, like the eval sweeps'
-        f16 wire. Quantization on normalized coordinates is ~6e-4 —
-        an order of magnitude below the default jitter sigma=5e-3.
+        ``transfer_dtype`` 'float16' or 'int16' emits the batch in a
+        half-size wire format (the device step decodes back to f32 before
+        compute — utils/wire.py): halves the per-step host->device upload,
+        like the eval sweeps. f16 quantization on normalized coordinates
+        is ~6e-4, int16 fixed-point ~3e-5 — both below the default jitter
+        sigma=5e-3.
         """
         batch = {
             "query": np.stack([t.query for t in tuples]),
@@ -176,10 +177,9 @@ class TupleSampler:
                 "negatives": flat[:, 1 + p : 1 + p + m],
                 "other_neg": flat[:, -1],
             }
-        wire = np.dtype(transfer_dtype)
-        if batch["query"].dtype != wire:
-            batch = {k: v.astype(wire) for k, v in batch.items()}
-        return batch
+        from lpdnet_tpu.utils.wire import encode_points
+
+        return {k: encode_points(v, transfer_dtype) for k, v in batch.items()}
 
     def epoch_batches(
         self,

@@ -20,6 +20,7 @@ import numpy as np
 
 from lpdnet_tpu.eval.recall import get_recall
 from lpdnet_tpu.utils.pipeline import pad_batch, sweep_embed
+from lpdnet_tpu.utils.wire import encode_points
 
 
 def get_latent_vectors(
@@ -32,6 +33,7 @@ def get_latent_vectors(
     embed_many_fn: Optional[Callable] = None,
     chunk: int = 0,
     transfer_dtype: str = "float32",
+    local_rows: Optional[slice] = None,
 ) -> np.ndarray:
     """Descriptors for one run's submaps, in index order (padded tail).
 
@@ -41,21 +43,32 @@ def get_latent_vectors(
 
     ``embed_many_fn`` (from ``make_embed_many_fn``) with ``chunk`` > 1
     chains that many batches per device dispatch (fast-DMA hosts only —
-    see ``EvalConfig.sweep_chunk``). ``transfer_dtype='float16'`` halves
-    upload volume; the embed fns cast back to f32 before any compute.
+    see ``EvalConfig.sweep_chunk``). ``transfer_dtype`` of 'float16' or
+    'int16' (fixed-point, ~3e-5 exact — utils/wire.py) halves upload
+    volume; the embed fns decode back to f32 before any compute.
+
+    ``local_rows`` (multi-process runs — ``parallel/multiprocess.py``):
+    this process loads and uploads only its slice of each padded batch;
+    ``embed_fn`` must then be a ``make_mp_sweep_embed_fn`` wrapper. The
+    returned descriptors are the full (replicated) sweep either way.
     """
     indices = sorted(entries.keys())
-    wire = np.dtype(transfer_dtype)
 
     def batches():
         for start in range(0, len(indices), batch_size):
             ids = indices[start : start + batch_size]
             names = [entries[i]["query"] for i in ids]
+            if local_rows is not None:
+                pad = batch_size - len(names)
+                names = (names + [names[-1]] * pad)[local_rows]
             if batch_loader is not None:
                 pts = batch_loader(names)
             else:
                 pts = np.stack([loader(n) for n in names])
-            yield pad_batch(pts, batch_size).astype(wire), len(ids)
+            yield encode_points(
+                pad_batch(pts, batch_size if local_rows is None
+                          else len(names)), transfer_dtype
+            ), len(ids)
 
     nbatches = -(-len(indices) // batch_size)
     return sweep_embed(
@@ -75,6 +88,7 @@ def evaluate_model(
     embed_many_fn: Optional[Callable] = None,
     chunk: int = 0,
     transfer_dtype: str = "float32",
+    local_rows: Optional[slice] = None,
 ) -> Dict[str, object]:
     """Run the full benchmark; returns averaged metrics.
 
@@ -85,14 +99,14 @@ def evaluate_model(
     database_vectors = [
         get_latent_vectors(
             embed_fn, variables, s, loader, batch_size, batch_loader,
-            embed_many_fn, chunk, transfer_dtype,
+            embed_many_fn, chunk, transfer_dtype, local_rows,
         )
         for s in database_sets
     ]
     query_vectors = [
         get_latent_vectors(
             embed_fn, variables, s, loader, batch_size, batch_loader,
-            embed_many_fn, chunk, transfer_dtype,
+            embed_many_fn, chunk, transfer_dtype, local_rows,
         )
         for s in query_sets
     ]

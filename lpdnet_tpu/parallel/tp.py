@@ -219,7 +219,9 @@ def make_tp_embed_fn(
     and the batch data-sharded; descriptors come back replicated."""
 
     def embed(variables, points):
-        return model.apply(variables, points.astype(jnp.float32), train=False)
+        from lpdnet_tpu.utils.wire import decode_points
+
+        return model.apply(variables, decode_points(points), train=False)
 
     var_sh = state_shardings(variables, mesh, model_axis)
     return jax.jit(

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from lpdnet_tpu.eval.recall import knn_retrieve
 from lpdnet_tpu.utils.pipeline import pad_batch, pipelined_embed
+from lpdnet_tpu.utils.wire import encode_points
 
 
 class DescriptorIndex:
@@ -35,10 +36,15 @@ class DescriptorIndex:
         embed_fn: Callable,
         variables,
         batch_size: int = 32,
+        transfer_dtype: str = "int8",
     ):
         self.embed_fn = embed_fn
         self.variables = variables
         self.batch_size = batch_size
+        # Wire format for submap uploads (utils/wire.py): int8 fixed-point
+        # quarters transfer; measured retrieval-neutral (full-scale
+        # descriptor cosine >= 0.99999 — PERF_LOG round 3).
+        self.transfer_dtype = transfer_dtype
         self._db: Optional[jnp.ndarray] = None  # (M, D) on device
 
     # -- embedding ---------------------------------------------------------
@@ -52,7 +58,9 @@ class DescriptorIndex:
         def batches():
             for start in range(0, len(clouds), bs):
                 chunk = clouds[start : start + bs]
-                yield pad_batch(chunk, bs), len(chunk)
+                yield encode_points(
+                    pad_batch(chunk, bs), self.transfer_dtype
+                ), len(chunk)
 
         return pipelined_embed(self.embed_fn, self.variables, batches())
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from lpdnet_tpu.data.tuples import TupleSampler
 from lpdnet_tpu.utils.pipeline import pad_batch, sweep_embed
+from lpdnet_tpu.utils.wire import encode_points
 
 
 class DescriptorCache:
@@ -41,22 +42,32 @@ class DescriptorCache:
         embed_many_fn: Optional[Callable] = None,
         chunk: int = 0,
         transfer_dtype: str = "float32",
+        local_rows: Optional[slice] = None,
     ) -> np.ndarray:
         """Recompute descriptors for every training query (the reference's
         full-dataset forward sweep, batched + padded to a fixed shape so the
         jitted embed function compiles once). Uses the sampler's in-memory
         cloud cache; cold reads go through its loader. ``embed_many_fn``
         with ``chunk`` > 1 chains batches per dispatch (fast-DMA hosts);
-        ``transfer_dtype='float16'`` halves the upload volume."""
+        ``transfer_dtype`` 'float16'/'int16' halves the upload volume
+        (utils/wire.py). ``local_rows``: multi-process sweeps load/upload
+        only this process's slice of each batch (parallel/multiprocess.py);
+        the cached vectors are the full replicated sweep either way."""
         indices = self.sampler.all_indices
         bs = self.batch_size
-        wire = np.dtype(transfer_dtype)
 
         def batches():
             for start in range(0, len(indices), bs):
                 ids = indices[start : start + bs]
-                pts = np.stack([self.sampler.load(i) for i in ids])
-                yield pad_batch(pts, bs).astype(wire), len(ids)
+                if local_rows is not None:
+                    pad = bs - len(ids)
+                    load_ids = (list(ids) + [ids[-1]] * pad)[local_rows]
+                else:
+                    load_ids = ids
+                pts = np.stack([self.sampler.load(i) for i in load_ids])
+                if local_rows is None:
+                    pts = pad_batch(pts, bs)
+                yield encode_points(pts, transfer_dtype), len(ids)
 
         nbatches = -(-len(indices) // bs)
         self.vectors = sweep_embed(

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lpdnet_tpu.configs import LossConfig
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.train.state import TrainState
+from lpdnet_tpu.utils.wire import decode_points
 
 
 def _tpu_compiler_options() -> Optional[Dict[str, Any]]:
@@ -38,9 +39,9 @@ def _tpu_compiler_options() -> Optional[Dict[str, Any]]:
 def _flatten_tuples(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, int, int]:
     """(B,*,N,C) tuple dict -> one (B*(1+P+M+1), N, C) stack.
 
-    Accepts a reduced-precision wire format (float16 from the sampler's
-    ``transfer_dtype`` — halves the per-step upload); the cast back to f32
-    happens here, before any compute.
+    Accepts a reduced-precision wire format (float16 or int16 fixed-point
+    from the sampler's ``transfer_dtype`` — halves the per-step upload);
+    the decode back to f32 happens here, before any compute.
     """
     q = batch["query"][:, None]  # (B, 1, N, C)
     pos = batch["positives"]
@@ -48,7 +49,7 @@ def _flatten_tuples(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, int, in
     other = batch["other_neg"][:, None]
     stacked = jnp.concatenate([q, pos, neg, other], axis=1)
     b, t, n, c = stacked.shape
-    flat = stacked.reshape(b * t, n, c).astype(jnp.float32)
+    flat = decode_points(stacked.reshape(b * t, n, c))
     return flat, pos.shape[1], neg.shape[1]
 
 
@@ -142,13 +143,12 @@ def make_embed_fn(
     """
 
     def embed(variables, points):
-        # Accept a reduced-precision wire format (e.g. float16 from the
-        # eval/mining sweeps — halves host->device transfer): the cast back
-        # to f32 happens before any compute, so only input quantization
-        # remains (measured descriptor cosine 0.999998 vs f32 transfer).
-        return model.apply(
-            variables, points.astype(jnp.float32), train=False
-        )
+        # Accept a reduced-precision wire format (float16 or int16
+        # fixed-point from the eval/mining sweeps — halves host->device
+        # transfer): the decode back to f32 happens before any compute, so
+        # only input quantization remains (measured descriptor cosine
+        # 0.999998 for f16; int16 quantizes ~20x finer still).
+        return model.apply(variables, decode_points(points), train=False)
 
     if mesh is None:
         return jax.jit(embed)
@@ -175,7 +175,7 @@ def make_embed_many_fn(
     def embed_many(variables, points):
         def body(carry, pts):
             return carry, model.apply(
-                variables, pts.astype(jnp.float32), train=False
+                variables, decode_points(pts), train=False
             )
 
         _, out = jax.lax.scan(body, None, points)

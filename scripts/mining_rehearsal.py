@@ -99,11 +99,11 @@ def main():
     cache = DescriptorCache(sampler, batch_size=args.eval_batch)
 
     # --- cache refresh at full 21.7k scale (compile + 2 timed sweeps) ----
-    cache.refresh(embed, variables, transfer_dtype="float16")
+    cache.refresh(embed, variables, transfer_dtype="int16")
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        cache.refresh(embed, variables, transfer_dtype="float16")
+        cache.refresh(embed, variables, transfer_dtype="int16")
         times.append(time.perf_counter() - t0)
     refresh_s = min(times)
     sweep_rate = args.num_submaps / refresh_s
@@ -116,7 +116,7 @@ def main():
         batches = prefetch_iterator(
             sampler.epoch_batches(
                 args.batch_num_queries, rng, hard_negs_fn=hard_fn,
-                rotate=True, jitter=True, transfer_dtype="float16",
+                rotate=True, jitter=True, transfer_dtype="int16",
             ),
             depth=3,
         )
