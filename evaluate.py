@@ -54,14 +54,27 @@ def parse_args():
              "residential + business) from <set>_evaluation_*.pickle in "
              "the dataset folder (the reference's refined-stage eval)",
     )
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        dest="overrides",
+        help="dotted-path config override, e.g. --set eval.batch_size=32 "
+             "(applies after the dedicated flags; values parse as JSON, "
+             "else strings)",
+    )
+    from lpdnet_tpu.parallel.multiprocess import add_cli_args
+
+    add_cli_args(p)
     return p.parse_args()
 
 
 def main():
     from lpdnet_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
     args = parse_args()
+    from lpdnet_tpu.parallel.multiprocess import initialize_from_args
+
+    initialize_from_args(args)
+    enable_compilation_cache()
     from lpdnet_tpu.utils.checkpoint import load_config
 
     cfg = load_config(args.log_dir)
@@ -82,6 +95,13 @@ def main():
         over["model.num_points"] = args.num_points
     if args.dtype: over["model.compute_dtype"] = args.dtype
     if args.exact_knn: over["model.exact_knn"] = True
+    from lpdnet_tpu.configs import parse_override_value
+
+    for kv in args.overrides:
+        key, eq, val = kv.partition("=")
+        if not eq:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        over[key] = parse_override_value(val)
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:
@@ -152,15 +172,39 @@ def main():
             print("warning: no checkpoint found; evaluating random init")
 
     mesh = None
+    nproc = jax.process_count()
+    primary = jax.process_index() == 0
+    if nproc > 1 and args.no_mesh:
+        raise ValueError("multi-process evaluation requires the mesh path")
     if not args.no_mesh:
         # The mesh must divide the eval batch (embed sweeps shard it).
         avail = cfg.mesh.num_devices or len(jax.devices())
-        mesh = make_mesh(fitting_device_count(avail, cfg.eval.batch_size))
+        ndev = fitting_device_count(avail, cfg.eval.batch_size)
+        if nproc > 1 and ndev != avail:
+            raise ValueError(
+                f"multi-process mesh must use all {avail} devices; "
+                f"eval.batch_size={cfg.eval.batch_size} fits only {ndev}"
+            )
+        mesh = make_mesh(ndev)
     embed = make_embed_fn(model, mesh=mesh)
     embed_many = (
         make_embed_many_fn(model, mesh=mesh)
         if cfg.eval.sweep_chunk > 1 else None
     )
+    sweep_rows = None
+    if nproc > 1:
+        # Each process loads/uploads only its rows of every padded batch
+        # (parallel/multiprocess.py); results come back replicated.
+        from lpdnet_tpu.parallel.multiprocess import (
+            make_mp_sweep_embed_fn, sweep_local_rows,
+        )
+
+        sweep_rows = sweep_local_rows(mesh, "data", cfg.eval.batch_size)
+        if sweep_rows is not None:
+            embed = make_mp_sweep_embed_fn(
+                embed, mesh, "data", cfg.eval.batch_size
+            )
+            embed_many = None
 
     if args.all_sets and not args.synthetic:
         for ds_name in ["oxford", "university", "residential", "business"]:
@@ -180,12 +224,15 @@ def main():
                 batch_loader=batch_loader, embed_many_fn=embed_many,
                 chunk=cfg.eval.sweep_chunk,
                 transfer_dtype=cfg.eval.transfer_dtype,
+                local_rows=sweep_rows,
             )
-            print(f"=== {ds_name} ===")
-            print(format_results(results))
-            write_results(
-                results, f"{cfg.train.log_dir}/{ds_name}_{cfg.eval.output_file}"
-            )
+            if primary:
+                print(f"=== {ds_name} ===")
+                print(format_results(results))
+                write_results(
+                    results,
+                    f"{cfg.train.log_dir}/{ds_name}_{cfg.eval.output_file}",
+                )
         return
 
     results = evaluate_model(
@@ -195,9 +242,11 @@ def main():
         embed_many_fn=embed_many,
         chunk=cfg.eval.sweep_chunk,
         transfer_dtype=cfg.eval.transfer_dtype,
+        local_rows=sweep_rows,
     )
-    print(format_results(results))
-    write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")
+    if primary:
+        print(format_results(results))
+        write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")
 
 
 if __name__ == "__main__":

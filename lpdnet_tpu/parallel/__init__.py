@@ -16,6 +16,10 @@ whole model replica fits in one chip's HBM thousands of times over) and
 expert parallelism (no MoE anywhere in the family). Scale here means
 batch, the model axis of the head, and the point axis — all three are
 implemented.
+
+Multi-process (multi-host pods): ``multiprocess.py`` — jax.distributed
+bootstrap, process-local batch feeding, primary-process side-effect
+guards. The mesh/step code above is process-count-agnostic.
 """
 
 from lpdnet_tpu.parallel.mesh import (
@@ -34,8 +38,18 @@ from lpdnet_tpu.parallel.tp import (
     partition_specs,
 )
 from lpdnet_tpu.parallel.sp import make_sp_embed_fn
+from lpdnet_tpu.parallel.multiprocess import (
+    initialize as initialize_distributed,
+    is_primary,
+    shard_batch_mp,
+    make_mp_sweep_embed_fn,
+)
 
 __all__ = [
+    "initialize_distributed",
+    "is_primary",
+    "shard_batch_mp",
+    "make_mp_sweep_embed_fn",
     "make_mesh",
     "shard_batch",
     "replicate",

@@ -54,7 +54,16 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a pytree of batch-first arrays, sharded over ``axis``."""
+    """Device-put a pytree of batch-first arrays, sharded over ``axis``.
+
+    Multi-process runs (``jax.distributed`` initialized — see
+    ``parallel/multiprocess.py``) feed each process's own rows via
+    ``make_array_from_process_local_data``; the resulting global array is
+    identical either way, so callers never branch."""
+    if jax.process_count() > 1:
+        from lpdnet_tpu.parallel.multiprocess import shard_batch_mp
+
+        return shard_batch_mp(batch, mesh, axis)
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
@@ -63,6 +72,10 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Device-put a pytree fully replicated over the mesh (params/opt state)."""
+    if jax.process_count() > 1:
+        from lpdnet_tpu.parallel.multiprocess import replicate_mp
+
+        return replicate_mp(tree, mesh)
     sharding = replicate_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree

@@ -70,3 +70,15 @@ class MetricsLogger:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """Same interface, no side effects — non-primary processes in
+    multi-process runs log through this (parallel/multiprocess.py: only
+    process 0 writes metrics/checkpoints/reports)."""
+
+    def log(self, event: str, **fields: Any) -> Dict[str, Any]:
+        return {"event": event, **fields}
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,113 @@
+"""One process of the multi-process CPU test cluster
+(tests/test_multiprocess.py), and the shared tiny training config.
+
+Run as a script it joins an N-process jax.distributed cluster (4 local CPU
+devices each) and trains; imported, :func:`run` is the identical workload
+the single-process 8-device control executes in the pytest process — the
+loss trajectories must match across the two topologies because the global
+mesh, data order, and step program are the same.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tiny_config(log_dir: str):
+    from lpdnet_tpu.configs import (
+        Config, DataConfig, EvalConfig, FeatureConfig, MeshConfig,
+        MiningConfig, ModelConfig, TrainConfig,
+    )
+
+    n_points = 64
+    return Config(
+        model=ModelConfig(
+            trunk="lpdnet", num_points=n_points, feature_dim=64,
+            num_clusters=8, output_dim=32, graph_k=6,
+            features=FeatureConfig(k=6, knn_block=64),
+        ),
+        data=DataConfig(num_points=n_points),
+        train=TrainConfig(
+            batch_num_queries=1,  # per-device: global batch = 8 queries
+            positives_per_query=2, negatives_per_query=4,
+            max_epoch=2, base_learning_rate=1e-3, log_dir=log_dir,
+            eval_every_epochs=2, checkpoint_every_epochs=1,
+            mining=MiningConfig(
+                warmup_epochs=1, hard_negatives_per_query=2,
+                cache_refresh_queries=10_000, sampled_negatives=8,
+            ),
+        ),
+        eval=EvalConfig(batch_size=8, top_k=5),
+        mesh=MeshConfig(),
+    )
+
+
+def run(log_dir: str):
+    """Train the tiny synthetic workload; returns the loop's result dict.
+    Identical on every topology that presents the same 8-device mesh."""
+    import numpy as np  # noqa: F401
+
+    from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+    from lpdnet_tpu.data.tuples import TupleSampler
+    from lpdnet_tpu.train.loop import TrainResources, train
+
+    cfg = tiny_config(log_dir)
+    ds = make_synthetic_dataset(
+        num_places=6, submaps_per_place=4,
+        num_points=cfg.model.num_points, seed=cfg.train.seed,
+    )
+    res = TrainResources(
+        sampler=TupleSampler(
+            ds.queries, ds.loader,
+            num_pos=cfg.train.positives_per_query,
+            num_neg=cfg.train.negatives_per_query,
+        ),
+        loader=ds.loader,
+        database_sets=ds.database_sets,
+        query_sets=ds.query_sets,
+    )
+    return train(cfg, res)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--local_devices", type=int, default=4)
+    ap.add_argument("--log_dir", required=True)
+    args = ap.parse_args()
+
+    # CPU fleet arrangement must precede backend init (tests/conftest.py
+    # recipe); the parent strips the TPU tunnel from the environment.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    ]
+    flags.append(
+        f"--xla_force_host_platform_device_count={args.local_devices}"
+    )
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from lpdnet_tpu.parallel.multiprocess import initialize
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    assert jax.process_count() == args.num_processes
+    assert len(jax.devices()) == args.num_processes * args.local_devices
+    run(args.log_dir)
+    print(f"worker {args.process_id} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

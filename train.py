@@ -72,14 +72,29 @@ def parse_args():
                         "full-size model dress rehearsal")
     p.add_argument("--eval_database_file", default=None)
     p.add_argument("--eval_query_file", default=None)
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        dest="overrides",
+        help="dotted-path config override, e.g. --set model.feature_dim=256 "
+             "--set train.mining.warmup_epochs=3 (applies after the "
+             "dedicated flags; values parse as JSON, else strings)",
+    )
+    from lpdnet_tpu.parallel.multiprocess import add_cli_args
+
+    add_cli_args(p)
     return p.parse_args()
 
 
 def main():
     from lpdnet_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
     args = parse_args()
+    # Distributed bootstrap must precede any JAX backend use (including the
+    # compilation cache); afterwards jax.devices() is the global pod.
+    from lpdnet_tpu.parallel.multiprocess import initialize_from_args
+
+    initialize_from_args(args)
+    enable_compilation_cache()
     if args.debug_nans:
         import jax
 
@@ -114,6 +129,13 @@ def main():
         over["mesh.model_devices"] = args.model_devices
     if args.batch_scaling: over["mesh.batch_scaling"] = args.batch_scaling
     if args.dtype: over["model.compute_dtype"] = args.dtype
+    from lpdnet_tpu.configs import parse_override_value
+
+    for kv in args.overrides:
+        key, eq, val = kv.partition("=")
+        if not eq:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        over[key] = parse_override_value(val)
     cfg = apply_overrides(cfg, **over)
 
     if args.synthetic:
