@@ -141,6 +141,7 @@ def import_state_dict(
     trunk_prefix: str = "point_net.",
     head_prefix: str = "net_vlad.",
     strict: bool = True,
+    shape_fallback: bool = True,
 ) -> Dict[str, Any]:
     """Convert a reference-style torch ``state_dict`` into Flax variables.
 
@@ -152,6 +153,10 @@ def import_state_dict(
       trunk_prefix/head_prefix: torch module prefixes (upstream lineage
         defaults; override when the real reference names differ).
       strict: raise if any torch key is left unconsumed.
+      shape_fallback: when a name-table lookup misses (an upstream-lineage
+        checkpoint with different module names), retry after remapping the
+        torch modules onto the canonical names by (kind, tensor shapes,
+        topological position) — see :func:`remap_state_dict_by_shape`.
 
     Returns:
       ``{"params": ..., "batch_stats": ...}`` ready for ``model.apply``.
@@ -167,6 +172,29 @@ def import_state_dict(
         k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in state_dict.items()
     }
+    try:
+        return _import_named(
+            dict(sd), cfg, variables, trunk_prefix, head_prefix, strict
+        )
+    except KeyError:
+        if not shape_fallback:
+            raise
+        renamed = remap_state_dict_by_shape(
+            sd, cfg, trunk_prefix=trunk_prefix, head_prefix=head_prefix
+        )
+        return _import_named(
+            renamed, cfg, variables, trunk_prefix, head_prefix, strict
+        )
+
+
+def _import_named(
+    sd: Dict[str, np.ndarray],
+    cfg: ModelConfig,
+    variables: Dict[str, Any],
+    trunk_prefix: str,
+    head_prefix: str,
+    strict: bool,
+) -> Dict[str, Any]:
     w = _TreeWriter(variables)
     tp, hp = trunk_prefix, head_prefix
 
@@ -329,6 +357,250 @@ def import_state_dict(
             f"unconsumed torch keys ({len(sd)}): {sorted(sd)[:8]} ..."
         )
     return w.tree
+
+
+# ---------------------------------------------------------------------------
+# Exporter: Flax variables -> upstream-style torch state_dict (the inverse
+# of the importer; canonical Conv1d (out, in, 1) weights). Enables
+# flax -> torch -> flax round-trips and interop with reference-side tools.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_to_conv(kernel: np.ndarray) -> np.ndarray:
+    """Dense kernel (in, out) -> canonical Conv1d weight (out, in, 1)."""
+    return np.ascontiguousarray(
+        np.asarray(kernel, np.float32).T
+    )[:, :, None]
+
+
+def _kernel_to_linear(kernel: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(kernel, np.float32).T)
+
+
+def export_state_dict(
+    variables: Dict[str, Any],
+    cfg: ModelConfig,
+    trunk_prefix: str = "point_net.",
+    head_prefix: str = "net_vlad.",
+) -> Dict[str, np.ndarray]:
+    """Flax ``{"params", "batch_stats"}`` -> torch-style state_dict in the
+    upstream naming (``import_state_dict``'s exact inverse — round-trip
+    tested). Keys are emitted in forward (topological) order; that order is
+    what the shape-fallback remapper uses as its canonical slot list."""
+    import jax
+
+    tree = _to_mutable(jax.tree_util.tree_map(np.asarray, variables))
+    p, s = tree["params"], tree["batch_stats"]
+    tp, hp = trunk_prefix, head_prefix
+    out: Dict[str, np.ndarray] = {}
+
+    def put_bn(dst: str, scale_node, stats_node) -> None:
+        out[f"{dst}.weight"] = np.asarray(scale_node["scale"], np.float32)
+        out[f"{dst}.bias"] = np.asarray(scale_node["bias"], np.float32)
+        out[f"{dst}.running_mean"] = np.asarray(
+            stats_node["mean"], np.float32
+        )
+        out[f"{dst}.running_var"] = np.asarray(stats_node["var"], np.float32)
+
+    def put_mlp(p_node, s_node, convs, bns, dense="dense", bn="bn",
+                to_conv=_kernel_to_conv) -> None:
+        for i, (c, b) in enumerate(zip(convs, bns)):
+            out[f"{c}.weight"] = to_conv(p_node[f"{dense}_{i}"]["kernel"])
+            put_bn(b, p_node[f"{bn}_{i}"], s_node[f"{bn}_{i}"])
+
+    if cfg.trunk == "pointnetvlad":
+        if cfg.use_input_transform:
+            st = f"{tp}stn"
+            put_mlp(
+                p["trunk"]["stn"]["PointMLP_0"],
+                s["trunk"]["stn"]["PointMLP_0"],
+                [f"{st}.conv{i}" for i in (1, 2, 3)],
+                [f"{st}.bn{i}" for i in (1, 2, 3)],
+            )
+            put_mlp(
+                p["trunk"]["stn"], s["trunk"]["stn"],
+                [f"{st}.fc1", f"{st}.fc2"], [f"{st}.bn4", f"{st}.bn5"],
+                dense="fc", bn="fc_bn", to_conv=_kernel_to_linear,
+            )
+            out[f"{st}.fc3.weight"] = _kernel_to_linear(
+                p["trunk"]["stn"]["fc_out"]["kernel"]
+            )
+            # Our STN bakes the identity into the bias; upstream adds it in
+            # forward — subtract it back out (inverse of the import fold).
+            out[f"{st}.fc3.bias"] = (
+                np.asarray(p["trunk"]["stn"]["fc_out"]["bias"], np.float32)
+                - np.eye(3, dtype=np.float32).reshape(-1)
+            )
+        put_mlp(
+            p["trunk"]["mlp1"], s["trunk"]["mlp1"],
+            [f"{tp}conv{i}" for i in (1, 2)],
+            [f"{tp}bn{i}" for i in (1, 2)],
+        )
+        put_mlp(
+            p["trunk"]["mlp2"], s["trunk"]["mlp2"],
+            [f"{tp}conv{i}" for i in (3, 4, 5)],
+            [f"{tp}bn{i}" for i in (3, 4, 5)],
+        )
+    elif cfg.trunk == "lpdnet":
+        put_mlp(
+            p["trunk"]["pre"], s["trunk"]["pre"],
+            [f"{tp}pre.conv{i}" for i in (1, 2)],
+            [f"{tp}pre.bn{i}" for i in (1, 2)],
+        )
+        for name in ("edge_spatial", "edge_feature"):
+            out[f"{tp}{name}.conv.weight"] = _kernel_to_conv(
+                p["trunk"][name]["kernel"]
+            )
+            put_bn(
+                f"{tp}{name}.bn",
+                p["trunk"][name]["bn"], s["trunk"][name]["bn"],
+            )
+        n_post = len(
+            [k for k in p["trunk"]["post"] if k.startswith("dense_")]
+        )
+        put_mlp(
+            p["trunk"]["post"], s["trunk"]["post"],
+            [f"{tp}post.conv{i + 1}" for i in range(n_post)],
+            [f"{tp}post.bn{i + 1}" for i in range(n_post)],
+        )
+    else:
+        raise ValueError(f"unknown trunk: {cfg.trunk!r}")
+
+    nv = p["netvlad"]
+    out[f"{hp}cluster_weights"] = np.asarray(
+        nv["cluster_weights"]["kernel"], np.float32
+    )
+    if cfg.add_batch_norm:
+        put_bn(f"{hp}bn1", nv["cluster_bn"], s["netvlad"]["cluster_bn"])
+    else:
+        out[f"{hp}cluster_biases"] = np.asarray(
+            nv["cluster_weights"]["bias"], np.float32
+        )
+    out[f"{hp}cluster_weights2"] = np.ascontiguousarray(
+        np.asarray(nv["cluster_centers"], np.float32).T
+    )[None]
+    d, k = cfg.feature_dim, cfg.num_clusters
+    h1 = np.asarray(nv["hidden1_weights"]["kernel"], np.float32)
+    out[f"{hp}hidden1_weights"] = np.ascontiguousarray(
+        h1.reshape(k, d, cfg.output_dim).transpose(1, 0, 2).reshape(
+            d * k, cfg.output_dim
+        )
+    )
+    if cfg.post_projection_bn:
+        put_bn(f"{hp}bn2", nv["hidden1_bn"], s["netvlad"]["hidden1_bn"])
+    if cfg.gating:
+        g = f"{hp}context_gating"
+        cg = nv["context_gating"]
+        out[f"{g}.gating_weights"] = np.asarray(
+            cg["gating_weights"]["kernel"], np.float32
+        )
+        if cfg.add_batch_norm:
+            put_bn(
+                f"{g}.bn1", cg["gating_bn"],
+                s["netvlad"]["context_gating"]["gating_bn"],
+            )
+        else:
+            out[f"{g}.gating_biases"] = np.asarray(
+                cg["gating_weights"]["bias"], np.float32
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shape-driven fallback: rename arbitrary upstream-lineage module names onto
+# the canonical table by (module kind, tensor shapes, topological position).
+# ---------------------------------------------------------------------------
+
+
+def _group_modules(sd: Dict[str, np.ndarray]):
+    """Group a state_dict into (prefix, {suffix: array}) modules in
+    insertion (= module definition = topological) order. Bare-parameter
+    keys (upstream NetVLAD ``cluster_weights`` etc.) are their own modules
+    with suffix ''."""
+    mods: Dict[str, Dict[str, np.ndarray]] = {}
+    known = {
+        "weight", "bias", "running_mean", "running_var",
+        "num_batches_tracked",
+    }
+    for key, val in sd.items():
+        prefix, _, suffix = key.rpartition(".")
+        if suffix not in known:
+            prefix, suffix = key, ""
+        mods.setdefault(prefix, {})[suffix] = np.asarray(val)
+    return list(mods.items())
+
+
+def _module_signature(parts: Dict[str, np.ndarray]) -> Tuple:
+    """(kind, shape facts) — invariant under renaming AND under the
+    cosmetic conv layout differences the importer already normalizes
+    (Conv1d (out,in,1) / Conv2d (out,in,1,1) / (out,1,1,in) all flatten to
+    (out, in))."""
+    if "running_mean" in parts:
+        return ("bn", parts["running_mean"].shape)
+    if "" in parts:
+        return ("param", parts[""].squeeze().shape)
+    w = parts["weight"]
+    if w.ndim >= 2:
+        return ("convlike", (w.shape[0], int(np.prod(w.shape[1:]))))
+    return ("vector", w.shape)
+
+
+def remap_state_dict_by_shape(
+    sd: Dict[str, np.ndarray],
+    cfg: ModelConfig,
+    trunk_prefix: str = "point_net.",
+    head_prefix: str = "net_vlad.",
+) -> Dict[str, np.ndarray]:
+    """Rename a differently-named upstream-lineage state_dict onto the
+    canonical name table (VERDICT round-2 item 5).
+
+    The canonical slot list comes from :func:`export_state_dict` on a
+    freshly-initialized model (names + shapes in topological order); each
+    canonical module greedily claims the first unclaimed source module with
+    the same signature. Raises with a diagnostic when a slot has no match
+    — shape mismatches mean a genuinely different architecture, which no
+    renaming fixes.
+    """
+    import jax
+
+    from lpdnet_tpu.models.model import init_model
+
+    _, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    canonical = export_state_dict(
+        variables, cfg, trunk_prefix=trunk_prefix, head_prefix=head_prefix
+    )
+    want = _group_modules(canonical)
+    have = _group_modules(sd)
+    claimed = [False] * len(have)
+    out: Dict[str, np.ndarray] = {}
+    for want_prefix, want_parts in want:
+        sig = _module_signature(want_parts)
+        for i, (have_prefix, have_parts) in enumerate(have):
+            if claimed[i] or _module_signature(have_parts) != sig:
+                continue
+            claimed[i] = True
+            for suffix, val in have_parts.items():
+                key = (
+                    f"{want_prefix}.{suffix}" if suffix else want_prefix
+                )
+                out[key] = val
+            break
+        else:
+            raise ValueError(
+                f"shape-fallback: no source module matches {want_prefix} "
+                f"(signature {sig}); unclaimed sources: "
+                f"{[hp for j, (hp, _) in enumerate(have) if not claimed[j]][:6]}"
+            )
+    # Unclaimed leftovers survive under their original names so the strict
+    # check still reports them.
+    for i, (have_prefix, have_parts) in enumerate(have):
+        if not claimed[i]:
+            for suffix, val in have_parts.items():
+                key = (
+                    f"{have_prefix}.{suffix}" if suffix else have_prefix
+                )
+                out[key] = val
+    return out
 
 
 def load_torch_checkpoint(

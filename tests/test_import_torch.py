@@ -312,3 +312,91 @@ def test_lpd_state_dict_import(rng):
     # kNN tie permutations may swap a few neighbours across frameworks.
     cos = (got * want).sum(-1)
     np.testing.assert_array_less(1.0 - 1e-3, cos)
+
+
+def _tree_allclose(a, b, atol=1e-6):
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), atol=atol,
+            err_msg=str(path),
+        )
+
+
+@pytest.mark.parametrize("trunk", ["pointnetvlad", "lpdnet"])
+def test_export_import_roundtrip(rng, trunk):
+    """export_state_dict is import_state_dict's exact inverse (VERDICT
+    round-2 item 5: the docstring's promised exporter)."""
+    from lpdnet_tpu.utils.import_torch import export_state_dict
+
+    cfg = ModelConfig(
+        trunk=trunk, num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6,
+        **(
+            {"compute_features_on_device": False, "input_dim": 13,
+             "edge_bn_placement": "edge",
+             "features": FeatureConfig(k=6, knn_block=64)}
+            if trunk == "lpdnet" else {"use_input_transform": True}
+        ),
+    )
+    _, variables = init_model(cfg, jax.random.key(7), batch_size=1)
+    sd = export_state_dict(variables, cfg)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    back = import_state_dict(sd, cfg, shape_fallback=False)
+    _tree_allclose(back, variables)
+
+
+def test_shape_fallback_imports_renamed_checkpoint(rng):
+    """A checkpoint with upstream-lineage structure but different module
+    names imports via the (kind, shape, topological position) remapper
+    (VERDICT round-2 item 5)."""
+    torch.manual_seed(3)
+    ref = TorchPointNetVlad()
+    _warm_bn(ref, rng, (4, N, 3))
+
+    cfg = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, use_input_transform=True,
+    )
+    # Rename every module as a different framework port might.
+    renames = {
+        "point_net.": "backbone.encoder.",
+        "net_vlad.": "aggregator.",
+        ".stn.": ".alignment.",
+        "conv": "pointwise",
+        "fc": "linear",
+        "bn": "norm",
+    }
+    sd = {}
+    for key, val in ref.state_dict().items():
+        for old, new in renames.items():
+            key = key.replace(old, new)
+        sd[key] = val
+    with pytest.raises(KeyError):
+        import_state_dict(sd, cfg, shape_fallback=False)
+    variables = import_state_dict(sd, cfg)  # shape fallback on by default
+
+    x = rng.randn(2, N, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    model, _ = init_model(cfg, jax.random.key(0), batch_size=1)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_shape_fallback_rejects_different_architecture(rng):
+    """Shape mismatches mean a different model, not a renaming — the
+    remapper must fail loudly, not misassign."""
+    torch.manual_seed(4)
+    ref = TorchPointNetVlad()
+    cfg = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=128,  # wrong width
+        num_clusters=8, output_dim=32, use_input_transform=True,
+    )
+    sd = {f"renamed.{k}": v for k, v in ref.state_dict().items()}
+    with pytest.raises(ValueError, match="shape-fallback"):
+        import_state_dict(sd, cfg)
