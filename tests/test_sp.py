@@ -72,3 +72,34 @@ def test_sp_embed_rejects_wrong_point_count(rng):
     fn = make_sp_embed_fn(cfg, mesh, variables)
     with pytest.raises(ValueError, match="cfg.num_points"):
         fn(jnp.zeros((1, 2 * N, 3)))  # silently truncating this is a bug
+
+
+@pytest.mark.slow
+def test_sp_embed_matches_single_device_flagship_scale(rng):
+    """Flagship shape (4096 pts, 1024-D trunk, 64 clusters, window 256) on
+    the virtual fleet: different padding, halo, and psum shapes than the
+    toy test above (VERDICT round-2 item 6)."""
+    cfg = ModelConfig(
+        trunk="lpdnet", num_points=4096, feature_dim=1024, num_clusters=64,
+        output_dim=256, graph_k=20, compute_dtype="float32",
+        # Matched geometry: per-device block = 4096/8 = 512 = knn_block,
+        # halo = the production window 256.
+        knn_window=256,
+        features=FeatureConfig(k=20, knn_block=512),
+    )
+    model, variables = init_model(cfg, jax.random.key(1), batch_size=1)
+    mesh = make_mesh(8, "points")
+    centers = rng.randn(32, 3)
+    pts = (centers[None, :, None]
+           + rng.randn(1, 32, 4096 // 32, 3) * 0.05).reshape(1, 4096, 3)
+    pts = jnp.asarray(pts.astype(np.float32))
+
+    single = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pts)
+    )
+    sp = np.asarray(make_sp_embed_fn(cfg, mesh, variables)(pts))
+    assert sp.shape == single.shape == (1, 256)
+    cos = np.sum(single * sp, -1) / (
+        np.linalg.norm(single, axis=-1) * np.linalg.norm(sp, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
