@@ -277,12 +277,19 @@ def bench_eval(
 
         one_percents = []
         t1 = time.perf_counter()
-        for m in range(num_runs):
-            for n in range(num_runs):
-                if m == n:
-                    continue
-                res = get_recall(db_vecs[m], q_vecs[n], tps, 25)
-                one_percents.append(res["one_percent_recall"])
+        # Dispatch-all-then-score: overlaps the per-pair device RTT
+        # (mirrors evaluate_model's pipelined retrieval).
+        pairs = [
+            (m, n, knn_retrieve(db_vecs[m], q_vecs[n], 25)[0])
+            for m in range(num_runs)
+            for n in range(num_runs)
+            if m != n
+        ]
+        for m, n, idx in pairs:
+            res = get_recall(
+                db_vecs[m], q_vecs[n], tps, 25, precomputed_idx=idx
+            )
+            one_percents.append(res["one_percent_recall"])
         t_retrieval = time.perf_counter() - t1
 
         total_submaps = num_runs * (db_size + q_size)

@@ -111,25 +111,38 @@ def evaluate_model(
         for s in query_sets
     ]
 
-    recalls = []
-    one_percents = []
-    similarities: List[float] = []
+    # Dispatch every pair's kNN retrieval before syncing any of them: the
+    # dispatches queue on the device and the host round-trips overlap
+    # (retrieval is RTT-bound on tunneled hosts, not compute-bound).
+    from lpdnet_tpu.eval.recall import knn_retrieve
+
+    pairs = []
     for m in range(len(database_sets)):
         for n in range(len(query_sets)):
             if m == n:
                 continue
-            q_entries = query_sets[n]
-            tps = [
-                q_entries[i].get(m, []) for i in sorted(q_entries.keys())
-            ]
-            res = get_recall(
-                database_vectors[m], query_vectors[n], tps, num_neighbors
+            k = min(num_neighbors, database_vectors[m].shape[0])
+            idx, _ = knn_retrieve(
+                np.asarray(database_vectors[m]),
+                np.asarray(query_vectors[n]), k,
             )
-            if res["num_evaluated"] == 0:
-                continue
-            recalls.append(res["recall"])
-            one_percents.append(res["one_percent_recall"])
-            similarities.extend(res["top1_similarity"])
+            pairs.append((m, n, idx))
+
+    recalls = []
+    one_percents = []
+    similarities: List[float] = []
+    for m, n, idx in pairs:
+        q_entries = query_sets[n]
+        tps = [q_entries[i].get(m, []) for i in sorted(q_entries.keys())]
+        res = get_recall(
+            database_vectors[m], query_vectors[n], tps, num_neighbors,
+            precomputed_idx=idx,
+        )
+        if res["num_evaluated"] == 0:
+            continue
+        recalls.append(res["recall"])
+        one_percents.append(res["one_percent_recall"])
+        similarities.extend(res["top1_similarity"])
 
     ave_recall = (
         np.mean(recalls, axis=0) if recalls else np.zeros(num_neighbors)

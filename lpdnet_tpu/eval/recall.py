@@ -67,6 +67,7 @@ def get_recall(
     query_vectors: np.ndarray,
     true_positives: Sequence[Sequence[int]],
     num_neighbors: int = 25,
+    precomputed_idx=None,
 ) -> Dict[str, object]:
     """Recall stats for one ordered (database run, query run) pair.
 
@@ -75,6 +76,10 @@ def get_recall(
       query_vectors: (Nq, D) descriptors of the query run.
       true_positives: per-query list of matching database indices (queries
         with an empty list are skipped, as in the reference).
+      precomputed_idx: (Nq, k) neighbour indices from an earlier
+        ``knn_retrieve`` dispatch — callers scoring several run pairs
+        dispatch them all first so the device round-trips overlap
+        (eval/evaluate.py).
 
     Returns:
       dict with 'recall' (cumulative %, length num_neighbors),
@@ -83,10 +88,11 @@ def get_recall(
     """
     nd = database_vectors.shape[0]
     k = min(num_neighbors, nd)
-    idx, _ = knn_retrieve(
-        jnp.asarray(database_vectors), jnp.asarray(query_vectors), k
-    )
-    idx = np.asarray(idx)
+    if precomputed_idx is None:
+        precomputed_idx, _ = knn_retrieve(
+            jnp.asarray(database_vectors), jnp.asarray(query_vectors), k
+        )
+    idx = np.asarray(precomputed_idx)
 
     threshold = max(int(round(nd / 100.0)), 1)
     recall = np.zeros(num_neighbors)
