@@ -39,7 +39,7 @@ def _window_starts(n: int, block: int, window: int) -> np.ndarray:
     ).astype(np.int32)
 
 
-def _kernel(idx_ref, win_ref, out_ref):
+def _kernel(idx_ref, win_ref, out_ref, *, cmp_dtype=jnp.int32):
     # idx_ref: (1, 1, TILE_M, K) int32 — window-LOCAL neighbour indices
     # win_ref: (1, 1, WIN, C)          — this block's candidate window
     # out_ref: (1, 1, TILE_M, C)       — max over the K gathered rows
@@ -47,8 +47,11 @@ def _kernel(idx_ref, win_ref, out_ref):
     win = win_ref.shape[2]
     c = win_ref.shape[3]
 
-    idx = idx_ref[0, 0]  # (TILE_M, K)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, k, win), 2)
+    # The one-hot build is the kernel's bottleneck (VPU compares); 16-bit
+    # compare dtypes double the lanes per op. Window-local indices are
+    # < win <= 4096, so int16 is exact (and float16 up to 2048).
+    idx = idx_ref[0, 0].astype(cmp_dtype)  # (TILE_M, K)
+    col = jax.lax.broadcasted_iota(cmp_dtype, (tile_m, k, win), 2)
     onehot = (col == idx[:, :, None]).astype(jnp.bfloat16)
     onehot = onehot.reshape(tile_m * k, win)
     table = win_ref[0, 0].astype(jnp.bfloat16)  # (WIN, C)
@@ -61,7 +64,8 @@ def _kernel(idx_ref, win_ref, out_ref):
 
 
 @partial(
-    jax.jit, static_argnames=("block", "window", "tile_m", "interpret")
+    jax.jit,
+    static_argnames=("block", "window", "tile_m", "interpret", "cmp_dtype"),
 )
 def edge_max_gather_windowed(
     features: jnp.ndarray,
@@ -71,6 +75,7 @@ def edge_max_gather_windowed(
     window: int,
     tile_m: int = 64,
     interpret: bool = False,
+    cmp_dtype: str = "int32",
 ) -> jnp.ndarray:
     """``out[b, m] = max_j features[b, idx[b, m, j]]`` for Morton-window
     indices: row ``m``'s neighbours lie in its block's candidate window.
@@ -109,7 +114,7 @@ def edge_max_gather_windowed(
 
     grid = (b, nb, block // tile_m)
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, cmp_dtype=jnp.dtype(cmp_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -74,6 +74,16 @@ def bench(b=64, n=4096, k=20, iters=10, block=512, window=256):
             "onehot_w": lambda f, i: edge_max_gather_windowed(
                 f, i, block=block, window=window
             ),
+            "onehot_i16": lambda f, i: edge_max_gather_windowed(
+                f, i, block=block, window=window, cmp_dtype="int16"
+            ),
+            "onehot_f16": lambda f, i: edge_max_gather_windowed(
+                f, i, block=block, window=window, cmp_dtype="float16"
+            ),
+            "onehot_t128": lambda f, i: edge_max_gather_windowed(
+                f, i, block=block, window=window, tile_m=128,
+                cmp_dtype="int16",
+            ),
         }
         for name, fn in rows.items():
             try:

@@ -87,3 +87,14 @@ def test_resolve_transfer_dtype_auto():
     # Explicit settings pass through untouched.
     assert resolve_transfer_dtype("float16", False) == "float16"
     assert resolve_transfer_dtype("float32", True) == "float32"
+
+
+def test_parse_override_value():
+    from lpdnet_tpu.configs import parse_override_value
+
+    assert parse_override_value("256") == 256
+    assert parse_override_value("0.7") == 0.7
+    assert parse_override_value("true") is True
+    assert parse_override_value("null") is None
+    assert parse_override_value("lpdnet") == "lpdnet"
+    assert parse_override_value('"quoted"') == "quoted"

@@ -114,3 +114,12 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert os.path.isdir(os.path.join(mp_dir, "checkpoints"))
     assert os.path.isfile(os.path.join(mp_dir, "results.txt"))
     assert os.path.isfile(os.path.join(mp_dir, "config.json"))
+
+
+def test_null_logger_interface():
+    from lpdnet_tpu.utils.logging import NullLogger
+
+    lg = NullLogger()
+    rec = lg.log("epoch", loss=1.0)
+    assert rec["event"] == "epoch"
+    lg.close()  # no-op, no files
