@@ -158,9 +158,36 @@ def state_shardings(tree: Any, mesh: Mesh, model_axis: str = "model") -> Any:
 
 def shard_state(state: Any, mesh: Mesh, model_axis: str = "model") -> Any:
     """Place a TrainState (or variables dict) with the head sharded over
-    ``model_axis`` and everything else replicated over the whole mesh."""
+    ``model_axis`` and everything else replicated over the whole mesh.
+
+    Works over multi-process meshes too: every process holds the same host
+    value (same init seed / same restored checkpoint), and each assembles
+    the global array from its addressable shards — ``jax.device_put`` to a
+    sharding containing other processes' devices is not allowed."""
     sh = state_shardings(state, mesh, model_axis)
+    if jax.process_count() > 1:
+        def put(x, s):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx]
+            )
+
+        return jax.tree_util.tree_map(put, state, sh)
     return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+
+def gather_tree(tree: Any, mesh: Mesh) -> Any:
+    """All-gather every leaf to fully-replicated and fetch to host numpy.
+
+    Used at the end of multi-process tensor-parallel runs: model-sharded
+    leaves are not fully addressable, so ``jax.device_get`` alone fails;
+    a jitted identity with replicated out-shardings makes XLA emit the
+    all-gathers, after which fully-replicated arrays convert on any
+    process."""
+    repl = NamedSharding(mesh, P())
+    shs = jax.tree_util.tree_map(lambda _: repl, tree)
+    gathered = jax.jit(lambda t: t, out_shardings=shs)(tree)
+    return jax.device_get(gathered)
 
 
 def check_divisibility(num_clusters: int, mesh: Mesh, model_axis: str) -> None:

@@ -69,12 +69,11 @@ def train(
     mesh = None
     global_batch = tc.batch_num_queries
     mp = cfg.mesh.model_devices if use_mesh else 1
-    if nproc > 1 and mp > 1:
-        raise NotImplementedError(
-            "tensor parallelism across processes is not supported yet: "
-            "the model-sharded state cannot be checkpointed/restored "
-            "host-locally (set mesh.model_devices=1 for multi-process runs)"
-        )
+    # Tensor parallelism across processes: the model-sharded state is not
+    # fully addressable on any host, so checkpoints flow through Orbax's
+    # sharded save/restore (each process writes/reads its own shards)
+    # instead of the host-numpy payload.
+    sharded_ckpt = nproc > 1 and mp > 1
     if nproc > 1 and not use_mesh:
         raise ValueError("multi-process training requires the mesh path")
     if use_mesh:
@@ -187,10 +186,19 @@ def train(
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
     )
+    if sharded_ckpt:
+        # Shard BEFORE restore: the sharded placement is the restore
+        # target (Orbax reads each process's shards directly).
+        from lpdnet_tpu.parallel.tp import shard_state
+
+        state = shard_state(state, mesh, cfg.mesh.model_axis)
     start_epoch, start_batch, resumed_queries = 0, 0, 0
     resume_extra = None
     if tc.resume and ckpt.latest_key() is not None:
-        state, saved_epoch = ckpt.restore(state)
+        if sharded_ckpt:
+            state, saved_epoch = ckpt.restore_sharded(state)
+        else:
+            state, saved_epoch = ckpt.restore(state)
         resume_extra = ckpt.load_extra(ckpt.latest_key())
         if resume_extra is not None:
             start_epoch = int(resume_extra["epoch"])
@@ -200,7 +208,7 @@ def train(
             start_epoch = saved_epoch + 1
         logger.log("resume", epoch=start_epoch, batch=start_batch)
 
-    if mesh is not None:
+    if mesh is not None and not sharded_ckpt:
         if mp > 1:
             from lpdnet_tpu.parallel.tp import shard_state
 
@@ -239,6 +247,12 @@ def train(
                 else np.zeros((0, 0), np.float32)
             ),
         }
+
+    def state_for_save():
+        # Sharded-checkpoint mode keeps the jax.Arrays (Orbax copies
+        # device->host synchronously before the async disk write, so
+        # donation into the next step is safe); otherwise the host copy.
+        return state if sharded_ckpt else jax.device_get(state)
 
     saved_keys: set = set()
     for epoch in range(start_epoch, tc.max_epoch):
@@ -327,7 +341,7 @@ def train(
                     # first). Ordered AFTER a same-step refresh so the
                     # mining sidecar snapshots the vectors batches > bi
                     # will actually use.
-                    saved = jax.device_get(state)
+                    saved = state_for_save()
                     key = int(saved.step)
                     ckpt.save(
                         key, saved, epoch=epoch,
@@ -354,7 +368,7 @@ def train(
             steps=len(losses), queries=queries_done,
         )
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:
-            saved = jax.device_get(state)
+            saved = state_for_save()
             key = int(saved.step)
             extra = checkpoint_extra(epoch + 1, 0, 0)
             if key in saved_keys:
@@ -394,4 +408,10 @@ def train(
                 )
 
     ckpt.close()
-    return {"state": jax.device_get(state), "eval": results, "model": model}
+    if sharded_ckpt:
+        from lpdnet_tpu.parallel.tp import gather_tree
+
+        final_state = gather_tree(state, mesh)
+    else:
+        final_state = jax.device_get(state)
+    return {"state": final_state, "eval": results, "model": model}

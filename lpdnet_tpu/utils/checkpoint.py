@@ -210,6 +210,52 @@ class CheckpointManager:
         )
         return new_state, int(restored["epoch"])
 
+    def restore_sharded(
+        self, state: TrainState, key: Optional[int] = None
+    ) -> Tuple[TrainState, int]:
+        """Restore into the *sharded device structure* of ``state``.
+
+        For multi-process tensor parallelism: ``state``'s leaves are
+        ``jax.Array``s carrying ``NamedSharding``s over a (possibly
+        multi-host) mesh; the abstract target hands those shardings to
+        Orbax, which reads each process's shards straight from the
+        TensorStore payload — the full array never materializes on any
+        single host. The on-disk format is identical to the host-numpy
+        path, so checkpoints cross-restore between the two (a sharded-TP
+        run can be resumed single-process and vice versa).
+        """
+
+        def abstract(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        target = {
+            "state": jax.tree_util.tree_map(
+                abstract,
+                {
+                    "step": state.step,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                },
+            ),
+            "epoch": 0,
+        }
+        key = key if key is not None else self._mgr.latest_step()
+        if key is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        self._restored_key = int(key)
+        restored = self._mgr.restore(
+            key, args=ocp.args.StandardRestore(target)
+        )
+        s = restored["state"]
+        new_state = state.replace(
+            step=s["step"],
+            params=s["params"],
+            batch_stats=s["batch_stats"],
+            opt_state=s["opt_state"],
+        )
+        return new_state, int(restored["epoch"])
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

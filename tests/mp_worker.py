@@ -16,7 +16,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def tiny_config(log_dir: str):
+def tiny_config(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
+                resume: bool = False, lr: float = 1e-3):
     from lpdnet_tpu.configs import (
         Config, DataConfig, EvalConfig, FeatureConfig, MeshConfig,
         MiningConfig, ModelConfig, TrainConfig,
@@ -31,9 +32,11 @@ def tiny_config(log_dir: str):
         ),
         data=DataConfig(num_points=n_points),
         train=TrainConfig(
-            batch_num_queries=1,  # per-device: global batch = 8 queries
+            batch_num_queries=1,  # per-device: global batch = data-axis size
             positives_per_query=2, negatives_per_query=4,
-            max_epoch=2, base_learning_rate=1e-3, log_dir=log_dir,
+            max_epoch=max_epoch, base_learning_rate=lr,
+            min_learning_rate=min(lr, 1e-5), log_dir=log_dir,
+            resume=resume,
             eval_every_epochs=2, checkpoint_every_epochs=1,
             mining=MiningConfig(
                 warmup_epochs=1, hard_negatives_per_query=2,
@@ -41,11 +44,12 @@ def tiny_config(log_dir: str):
             ),
         ),
         eval=EvalConfig(batch_size=8, top_k=5),
-        mesh=MeshConfig(),
+        mesh=MeshConfig(model_devices=model_devices),
     )
 
 
-def run(log_dir: str):
+def run(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
+        resume: bool = False, lr: float = 1e-3):
     """Train the tiny synthetic workload; returns the loop's result dict.
     Identical on every topology that presents the same 8-device mesh."""
     import numpy as np  # noqa: F401
@@ -54,7 +58,7 @@ def run(log_dir: str):
     from lpdnet_tpu.data.tuples import TupleSampler
     from lpdnet_tpu.train.loop import TrainResources, train
 
-    cfg = tiny_config(log_dir)
+    cfg = tiny_config(log_dir, model_devices, max_epoch, resume, lr)
     ds = make_synthetic_dataset(
         num_places=6, submaps_per_place=4,
         num_points=cfg.model.num_points, seed=cfg.train.seed,
@@ -81,6 +85,10 @@ def main():
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--local_devices", type=int, default=4)
     ap.add_argument("--log_dir", required=True)
+    ap.add_argument("--model_devices", type=int, default=1)
+    ap.add_argument("--max_epoch", type=int, default=2)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     # CPU fleet arrangement must precede backend init (tests/conftest.py
@@ -105,7 +113,8 @@ def main():
     initialize(args.coordinator, args.num_processes, args.process_id)
     assert jax.process_count() == args.num_processes
     assert len(jax.devices()) == args.num_processes * args.local_devices
-    run(args.log_dir)
+    run(args.log_dir, args.model_devices, args.max_epoch, args.resume,
+        args.lr)
     print(f"worker {args.process_id} done", flush=True)
 
 
