@@ -1,25 +1,26 @@
 """Device-mesh parallelism (replaces the reference's ``nn.DataParallel``
 scatter/gather — SURVEY C20/C21 — with XLA collectives over ICI/DCN).
 
-Four paths (the first three share one step program; SP is inference-only):
+Five paths (the first three share one step program):
   * GSPMD data parallel (``train/step.py``) — 1-D mesh, batch-sharded;
   * explicit-collective DDP (``ddp.py``) — shard_map + pmean, per-replica BN;
   * tensor-parallel head (``tp.py``) — 2-D (data, model) mesh, Megatron-style
     NetVLAD sharding via parameter shardings only;
   * point-axis sequence parallelism (``sp.py``) — one submap sharded over
     the mesh via Morton windows + halo, NetVLAD partials psum'd (serving
-    latency path).
+    latency path);
+  * GPipe-style pipeline parallelism (``pp.py``) — the forward staged over
+    a ``('stage',)`` mesh, microbatches streaming via ppermute, train step
+    differentiable through the whole schedule. At flagship scale a whole
+    replica fits one chip comfortably, so PP is a capability/latency-memory
+    trade here, not a throughput win — benchmark DP/TP first.
 
-Deliberately absent: pipeline parallelism (the model is two EdgeConvs and
-a head — there is no layer stack deep enough to fill a pipeline, and a
-whole model replica fits in one chip's HBM thousands of times over) and
-expert parallelism (no MoE anywhere in the family). Scale here means
-batch, the model axis of the head, and the point axis — all three are
-implemented.
+Deliberately absent: expert parallelism (no MoE anywhere in the family).
 
 Multi-process (multi-host pods): ``multiprocess.py`` — jax.distributed
 bootstrap, process-local batch feeding, primary-process side-effect
-guards. The mesh/step code above is process-count-agnostic.
+guards, and sharded checkpointing for cross-process TP. The mesh/step
+code above is process-count-agnostic.
 """
 
 from lpdnet_tpu.parallel.mesh import (
@@ -38,6 +39,15 @@ from lpdnet_tpu.parallel.tp import (
     partition_specs,
 )
 from lpdnet_tpu.parallel.sp import make_sp_embed_fn
+from lpdnet_tpu.parallel.pp import (
+    build_plan,
+    create_pp_train_state,
+    make_pp_embed_fn,
+    make_pp_mesh,
+    make_pp_train_step,
+    stacks_to_variables,
+    variables_to_stacks,
+)
 from lpdnet_tpu.parallel.multiprocess import (
     initialize as initialize_distributed,
     is_primary,
@@ -62,4 +72,11 @@ __all__ = [
     "shard_state",
     "partition_specs",
     "make_sp_embed_fn",
+    "build_plan",
+    "create_pp_train_state",
+    "make_pp_embed_fn",
+    "make_pp_mesh",
+    "make_pp_train_step",
+    "stacks_to_variables",
+    "variables_to_stacks",
 ]

@@ -1,0 +1,640 @@
+"""Pipeline parallelism: the LPD-Net forward staged over a ``('stage',)`` mesh.
+
+The reference has no model parallelism at all (``nn.DataParallel`` replicates
+the whole module — SURVEY C20/C21). This module completes the framework's
+parallelism matrix (DP / DDP / TP / SP / **PP**) with a GPipe-style pipeline:
+the flagship forward is partitioned into contiguous STAGES, one per device
+along a 1-D ``('stage',)`` mesh; microbatches stream through the stages, and
+activations hop stage -> stage+1 over ICI via ``lax.ppermute`` on the classic
+``M + S - 1``-tick schedule (``S - 1`` bubble ticks).
+
+Heterogeneous stages under SPMD
+  Every device runs the same program, so the per-stage computation is a
+  ``lax.switch`` over stage bodies, and per-stage parameters ride a *padded,
+  stacked* buffer: each stage's param pytree is flattened to one f32 vector,
+  zero-padded to the longest stage, and the ``(S, P_max)`` stack is sharded
+  ``P('stage')`` — each device materializes exactly one row. The padding
+  overhead per device is bounded by the largest stage (for the flagship,
+  the NetVLAD head's ``K*D x output_dim`` projection). BatchNorm state rides
+  an identically-shaped stats stack. Activations cross stages in a
+  fixed-width buffer padded to the widest cut boundary.
+
+Training
+  The whole schedule is ONE differentiable program: ``jax.grad`` through the
+  scan + ppermute yields the reverse pipeline automatically (ppermute
+  transposes to the opposite permutation), so forward + loss + backward +
+  Adam update compile into a single XLA program like every other train step
+  here. BatchNorm statistics update per microbatch, sequentially within each
+  stage — the per-replica-BN analogue of the DDP path (``parallel/ddp.py``);
+  bubble ticks are masked out of the statistics. Stage bodies are
+  rematerialized (``jax.checkpoint``) so the backward re-runs each stage
+  instead of saving every tick's internals.
+
+Checkpoint compatibility
+  ``variables_to_stacks`` / ``stacks_to_variables`` convert losslessly
+  between the full model's variables and the stage stacks, so PP runs
+  save/restore through the same payload structure as every other path, and
+  any existing checkpoint can be re-partitioned onto a pipeline at load.
+
+Scope: the LPD trunk (the flagship). The pipeline cut points are the trunk's
+natural unit boundaries (SURVEY C11/C12): [feature stage + pre-MLP +
+spatial EdgeConv] -> [feature-graph EdgeConv] -> [post-MLP] -> [NetVLAD
+head]; ``num_stages`` in 1..4 groups contiguous units evenly. At flagship
+scale PP is a latency/memory trade (the model fits one chip comfortably) —
+this is the framework capability, validated on the virtual fleet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lpdnet_tpu.configs import LossConfig, ModelConfig, TrainConfig
+from lpdnet_tpu.losses import loss_from_config
+from lpdnet_tpu.models.lpdnet import EdgeConv, LPDNetFeat
+from lpdnet_tpu.models.netvlad import NetVLADLoupe
+from lpdnet_tpu.models.pointnet import PointMLP
+from lpdnet_tpu.ops.features import eigen_features_and_knn
+from lpdnet_tpu.ops.knn import knn_indices
+from lpdnet_tpu.ops.morton import morton_sort
+from lpdnet_tpu.train.state import make_optimizer
+from lpdnet_tpu.train.step import _flatten_tuples, _tpu_compiler_options
+
+
+def _window(cfg: ModelConfig) -> Optional[int]:
+    """Same Morton-window policy as the full model (models/model.py)."""
+    if cfg.exact_knn or cfg.features.fused_stats:
+        return None
+    return cfg.knn_window
+
+
+def _use_pallas(cfg: ModelConfig) -> bool:
+    if cfg.pallas_gather == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return cfg.pallas_gather == "on"
+
+
+def _dist_dtype(cfg: ModelConfig) -> str:
+    return (
+        "bfloat16"
+        if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        else "float32"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline units: flax modules whose submodule NAMES match the full model's
+# param tree, so stage variables are exact subtrees of DescriptorNet's
+# (parity enforced by tests/test_pp.py against the monolithic forward).
+# ---------------------------------------------------------------------------
+
+
+class _SpatialUnit(nn.Module):
+    """xyz -> Morton sort -> 10-D feature stage -> pre-MLP -> spatial
+    EdgeConv. Mirrors models/model.py + LPDNetFeat stages 1-2."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        window = _window(cfg)
+        if window is not None:
+            x = morton_sort(x)
+        idx_xyz = None
+        if cfg.compute_features_on_device and x.shape[-1] == 3:
+            feats, idx = eigen_features_and_knn(
+                x,
+                cfg.features.k,
+                eps=cfg.features.eps,
+                block=cfg.features.knn_block,
+                recall_target=cfg.features.recall_target,
+                fused_stats=cfg.features.fused_stats,
+                exact=cfg.exact_knn,
+                window=window,
+            )
+            x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
+            if cfg.features.k == cfg.graph_k:
+                idx_xyz = idx
+        xyz = x[..., :3]
+        h = PointMLP(
+            list(LPDNetFeat.pre_widths), relu_last=True, dtype=dtype,
+            name="pre",
+        )(x, train=train)
+        if idx_xyz is None:
+            idx_xyz = knn_indices(
+                xyz, cfg.graph_k, block=cfg.features.knn_block,
+                dist_dtype=_dist_dtype(cfg),
+                recall_target=cfg.features.recall_target,
+                exact=cfg.exact_knn, window=window,
+            )
+        return EdgeConv(
+            LPDNetFeat.spatial_width, dtype=dtype,
+            bn_placement=cfg.edge_bn_placement,
+            pallas_gather=_use_pallas(cfg), name="edge_spatial",
+        )(h, idx_xyz, train=train)
+
+
+class _FeatureUnit(nn.Module):
+    """Feature-space kNN graph + feature EdgeConv (LPDNetFeat stage 3)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        idx_feat = knn_indices(
+            h, cfg.graph_k, block=cfg.features.knn_block,
+            dist_dtype=_dist_dtype(cfg),
+            recall_target=cfg.features.recall_target,
+            exact=cfg.exact_knn, window=_window(cfg),
+        )
+        return EdgeConv(
+            LPDNetFeat.feature_width, dtype=jnp.dtype(cfg.compute_dtype),
+            bn_placement=cfg.edge_bn_placement,
+            pallas_gather=_use_pallas(cfg), name="edge_feature",
+        )(h, idx_feat, train=train)
+
+
+class _PostUnit(nn.Module):
+    """Post-MLP to the trunk's per-point width (LPDNetFeat stage 4)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        return PointMLP(
+            list(LPDNetFeat.post_widths) + [cfg.feature_dim],
+            relu_last=False, dtype=jnp.dtype(cfg.compute_dtype), name="post",
+        )(h, train=train)
+
+
+class _HeadUnit(nn.Module):
+    """NetVLAD head + output normalization (models/model.py tail)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        desc = NetVLADLoupe(
+            feature_size=cfg.feature_dim,
+            cluster_size=cfg.num_clusters,
+            output_dim=cfg.output_dim,
+            add_batch_norm=cfg.add_batch_norm,
+            gating=cfg.gating,
+            post_projection_bn=cfg.post_projection_bn,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            name="netvlad",
+        )(h, train=train)
+        if cfg.normalize_output:
+            desc = desc / jnp.sqrt(
+                jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12
+            )
+        return desc
+
+
+@dataclasses.dataclass(frozen=True)
+class _Unit:
+    name: str
+    module: nn.Module
+    # full-model param path of each of the module's top-level submodules
+    paths: Dict[str, Tuple[str, ...]]
+    out_width: int  # per-point channels out ((B, D) for the head)
+
+
+def _make_units(cfg: ModelConfig) -> List[_Unit]:
+    if cfg.trunk != "lpdnet":
+        raise NotImplementedError(
+            "pipeline parallelism is implemented for the flagship 'lpdnet' "
+            f"trunk (got {cfg.trunk!r})"
+        )
+    return [
+        _Unit(
+            "spatial", _SpatialUnit(cfg),
+            {"pre": ("trunk", "pre"),
+             "edge_spatial": ("trunk", "edge_spatial")},
+            LPDNetFeat.spatial_width,
+        ),
+        _Unit(
+            "feature", _FeatureUnit(cfg),
+            {"edge_feature": ("trunk", "edge_feature")},
+            LPDNetFeat.feature_width,
+        ),
+        _Unit("post", _PostUnit(cfg), {"post": ("trunk", "post")},
+              cfg.feature_dim),
+        _Unit("head", _HeadUnit(cfg), {"netvlad": ("netvlad",)},
+              cfg.output_dim),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Flatten / pad plumbing for the stage stacks.
+# ---------------------------------------------------------------------------
+
+
+def _get_path(tree: Any, path: Tuple[str, ...]) -> Any:
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _unit_tree(collection: Any, unit: _Unit) -> Dict[str, Any]:
+    return {sub: _get_path(collection, path)
+            for sub, path in unit.paths.items()}
+
+
+def _stage_tree(collection: Any, units: Sequence[_Unit]) -> Dict[str, Any]:
+    return {u.name: _unit_tree(collection, u) for u in units}
+
+
+def _flatten_spec(tree: Any):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if jnp.asarray(leaf).dtype != jnp.float32:
+            raise ValueError(
+                f"stage stacking expects float32 leaves, got {leaf.dtype}"
+            )
+    shapes = [np.asarray(leaf).shape for leaf in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    return treedef, shapes, sizes
+
+
+def _to_vec(tree: Any) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.zeros((0,), jnp.float32)
+    return jnp.concatenate(
+        [jnp.ravel(leaf).astype(jnp.float32) for leaf in leaves]
+    )
+
+
+def _from_vec(vec: jnp.ndarray, treedef, shapes, sizes) -> Any:
+    parts, off = [], 0
+    for sh, sz in zip(shapes, sizes):
+        parts.append(vec[off:off + sz].reshape(sh))
+        off += sz
+    return jax.tree_util.tree_unflatten(treedef, parts)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelinePlan:
+    """Static description of one pipeline partition of the model."""
+
+    cfg: ModelConfig
+    num_stages: int
+    stage_units: Tuple[Tuple[_Unit, ...], ...]
+    param_specs: Tuple[Any, ...]  # (treedef, shapes, sizes) per stage
+    stats_specs: Tuple[Any, ...]
+    in_widths: Tuple[int, ...]  # activation channels entering each stage
+    p_max: int
+    q_max: int
+    buf_width: int  # inter-stage activation buffer channels
+
+    @property
+    def param_sizes(self) -> List[int]:
+        return [sum(spec[2]) for spec in self.param_specs]
+
+    @property
+    def stats_sizes(self) -> List[int]:
+        return [sum(spec[2]) for spec in self.stats_specs]
+
+
+def build_plan(
+    cfg: ModelConfig, num_stages: int, variables: Dict[str, Any]
+) -> PipelinePlan:
+    """Partition the model into ``num_stages`` contiguous stage groups and
+    record the static flatten/pad layout from a template ``variables``."""
+    units = _make_units(cfg)
+    if not 1 <= num_stages <= len(units):
+        raise ValueError(
+            f"num_stages must be in 1..{len(units)}, got {num_stages}"
+        )
+    groups = [list(g) for g in np.array_split(units, num_stages)]
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    param_specs, stats_specs, in_widths = [], [], []
+    in_w = (
+        3 if (cfg.compute_features_on_device and cfg.trunk == "lpdnet")
+        else cfg.input_dim
+    )
+    for g in groups:
+        param_specs.append(_flatten_spec(_stage_tree(params, g)))
+        stats_specs.append(_flatten_spec(_stage_tree(stats, g)))
+        in_widths.append(in_w)
+        in_w = g[-1].out_width
+    # Buffer must carry the widest activation actually crossing a stage cut
+    # (plus the raw input fed to stage 0).
+    buf_width = max(in_widths)
+    return PipelinePlan(
+        cfg=cfg,
+        num_stages=num_stages,
+        stage_units=tuple(tuple(g) for g in groups),
+        param_specs=tuple(param_specs),
+        stats_specs=tuple(stats_specs),
+        in_widths=tuple(in_widths),
+        p_max=max(sum(s[2]) for s in param_specs),
+        q_max=max((sum(s[2]) for s in stats_specs), default=0),
+        buf_width=buf_width,
+    )
+
+
+def variables_to_stacks(
+    plan: PipelinePlan, variables: Dict[str, Any]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full model variables -> padded (S, P_max) / (S, Q_max) stage stacks."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    prows, srows = [], []
+    for g in plan.stage_units:
+        pv = _to_vec(_stage_tree(params, g))
+        sv = _to_vec(_stage_tree(stats, g))
+        prows.append(jnp.pad(pv, (0, plan.p_max - pv.shape[0])))
+        srows.append(jnp.pad(sv, (0, plan.q_max - sv.shape[0])))
+    return jnp.stack(prows), jnp.stack(srows)
+
+
+def stacks_to_variables(
+    plan: PipelinePlan, pstack: jnp.ndarray, sstack: jnp.ndarray
+) -> Dict[str, Any]:
+    """Exact inverse of :func:`variables_to_stacks` (round-trip tested)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, path, sub):
+        for k in path[:-1]:
+            tree = tree.setdefault(k, {})
+        tree[path[-1]] = sub
+
+    for s, g in enumerate(plan.stage_units):
+        ptree = _from_vec(pstack[s], *plan.param_specs[s])
+        stree = _from_vec(sstack[s], *plan.stats_specs[s])
+        for u in g:
+            for sub, path in u.paths.items():
+                insert(params, path, ptree[u.name][sub])
+                insert(stats, path, stree[u.name][sub])
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# The pipelined forward (shared by embed and the train step).
+# ---------------------------------------------------------------------------
+
+
+def _make_branches(plan: PipelinePlan, train: bool):
+    """One callable per stage: (act_in, pvec, svec) ->
+    (act_out, desc, new_svec) with uniform padded signatures."""
+    cfg = plan.cfg
+    wire = jnp.dtype(cfg.compute_dtype)
+    branches = []
+    for s, g in enumerate(plan.stage_units):
+        def branch(act_in, pvec, svec, _s=s, _g=g):
+            h = act_in[..., : plan.in_widths[_s]].astype(jnp.float32)
+            params = _from_vec(pvec, *plan.param_specs[_s])
+            stats = _from_vec(svec, *plan.stats_specs[_s])
+            new_stats = dict(stats)
+            for u in _g:
+                uvars = {"params": params[u.name],
+                         "batch_stats": stats[u.name]}
+                if train:
+                    h, mut = u.module.apply(
+                        uvars, h, train=True, mutable=["batch_stats"]
+                    )
+                    new_stats[u.name] = mut["batch_stats"]
+                else:
+                    h = u.module.apply(uvars, h, train=False)
+            bm = act_in.shape[0]
+            if _g[-1].name == "head":
+                desc = h.astype(jnp.float32)
+                act_out = jnp.zeros_like(act_in)
+            else:
+                desc = jnp.zeros((bm, cfg.output_dim), jnp.float32)
+                pad = plan.buf_width - h.shape[-1]
+                act_out = jnp.pad(
+                    h.astype(wire), ((0, 0), (0, 0), (0, pad))
+                )
+            sv = _to_vec(new_stats)
+            return act_out, desc, jnp.pad(
+                sv, (0, plan.q_max - sv.shape[0])
+            )
+
+        branches.append(branch)
+    return branches
+
+
+def _make_pipeline_spmd(
+    plan: PipelinePlan, mesh: Mesh, axis: str, train: bool
+):
+    """The shard_map'd (M + S - 1)-tick schedule. Per-device inputs: this
+    stage's (1, P_max)/(1, Q_max) rows and the full replicated microbatch
+    stack; outputs: the per-stage descriptor buffer (only the last stage's
+    row is meaningful) and updated stats rows."""
+    S = plan.num_stages
+    branches = _make_branches(plan, train)
+    wire = jnp.dtype(plan.cfg.compute_dtype)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def run_stage(stage, act_in, pvec, svec):
+        return jax.lax.switch(stage, branches, act_in, pvec, svec)
+
+    if train:
+        # GPipe remat: the backward re-runs each stage body instead of
+        # keeping every tick's internals (kNN scans, edge tensors) alive.
+        run_stage = jax.checkpoint(run_stage, static_argnums=())
+
+    def spmd(prow, srow, inputs):
+        stage = jax.lax.axis_index(axis)
+        pvec, svec0 = prow[0], srow[0]
+        m, bm, n, _ = inputs.shape
+        act0 = jnp.zeros((bm, n, plan.buf_width), wire)
+        out0 = jnp.zeros((m, bm, plan.cfg.output_dim), jnp.float32)
+
+        def tick(carry, t):
+            act, svec, outbuf = carry
+            x_t = jax.lax.dynamic_index_in_dim(
+                inputs, jnp.clip(t, 0, m - 1), 0, keepdims=False
+            )
+            x_enc = jnp.pad(
+                x_t.astype(wire),
+                ((0, 0), (0, 0), (0, plan.buf_width - x_t.shape[-1])),
+            )
+            act_in = jnp.where(stage == 0, x_enc, act)
+            act_out, desc, new_svec = run_stage(stage, act_in, pvec, svec)
+            if train:
+                # Only ticks carrying a real microbatch update BN state.
+                valid = (t >= stage) & (t < stage + m)
+                svec = jnp.where(valid, new_svec, svec)
+            mb = t - (S - 1)
+            emit = (stage == S - 1) & (mb >= 0)
+            outbuf = jnp.where(
+                emit,
+                jax.lax.dynamic_update_index_in_dim(
+                    outbuf, desc, jnp.clip(mb, 0, m - 1), 0
+                ),
+                outbuf,
+            )
+            act = jax.lax.ppermute(act_out, axis, perm)
+            return (act, svec, outbuf), None
+
+        (act, svec, outbuf), _ = jax.lax.scan(
+            tick, (act0, svec0, out0), jnp.arange(m + S - 1)
+        )
+        return outbuf[None], svec[None]
+
+    return jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+
+
+def make_pp_mesh(num_stages: int, axis: str = "stage") -> Mesh:
+    devices = jax.devices()
+    if num_stages > len(devices):
+        raise ValueError(
+            f"need {num_stages} devices, have {len(devices)}"
+        )
+    return Mesh(np.asarray(devices[:num_stages]), (axis,))
+
+
+def place_stacks(
+    plan: PipelinePlan,
+    mesh: Mesh,
+    variables: Dict[str, Any],
+    axis: str = "stage",
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage-shard the stacks over the mesh (row s on stage-device s)."""
+    pstack, sstack = variables_to_stacks(plan, variables)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.device_put(pstack, sh), jax.device_put(sstack, sh)
+
+
+def make_pp_embed_fn(
+    plan: PipelinePlan,
+    mesh: Mesh,
+    microbatch_size: int,
+    axis: str = "stage",
+) -> Callable[[jax.Array, jax.Array, jnp.ndarray], jnp.ndarray]:
+    """Pipelined inference embed: ``(B, N, C) -> (B, output_dim)`` with B
+    split into ``B / microbatch_size`` microbatches streaming through the
+    stages. Descriptors match the monolithic forward (same math, staged)."""
+    pipeline = _make_pipeline_spmd(plan, mesh, axis, train=False)
+
+    @jax.jit
+    def embed(pstack, sstack, points):
+        b, n, c = points.shape
+        if b % microbatch_size:
+            raise ValueError(
+                f"batch {b} not divisible by microbatch {microbatch_size}"
+            )
+        inputs = points.reshape(b // microbatch_size, microbatch_size, n, c)
+        outbuf, _ = pipeline(pstack, sstack, inputs)
+        return outbuf[-1].reshape(b, plan.cfg.output_dim)
+
+    return embed
+
+
+# ---------------------------------------------------------------------------
+# Pipelined training.
+# ---------------------------------------------------------------------------
+
+
+class PPTrainState(struct.PyTreeNode):
+    """Train state over the stage stacks (sharded P('stage') on the mesh)."""
+
+    step: jax.Array
+    pstack: jax.Array
+    sstack: jax.Array
+    opt_state: Any
+    tx: Any = struct.field(pytree_node=False)
+
+
+def create_pp_train_state(
+    plan: PipelinePlan,
+    mesh: Mesh,
+    variables: Dict[str, Any],
+    train_cfg: TrainConfig,
+    examples_per_step: Optional[int] = None,
+    axis: str = "stage",
+) -> PPTrainState:
+    pstack, sstack = place_stacks(plan, mesh, variables, axis)
+    tx = make_optimizer(train_cfg, examples_per_step)
+    # Adam over the stacked buffer is elementwise, so it equals per-leaf
+    # Adam on the unstacked pytree; padded entries have zero grads and
+    # stay exactly zero. jit propagates pstack's stage sharding into the
+    # moment buffers.
+    opt_state = jax.jit(tx.init)(pstack)
+    return PPTrainState(
+        step=jnp.zeros((), jnp.int32),
+        pstack=pstack,
+        sstack=sstack,
+        opt_state=opt_state,
+        tx=tx,
+    )
+
+
+def make_pp_train_step(
+    plan: PipelinePlan,
+    loss_cfg: LossConfig,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = "stage",
+    donate: bool = True,
+):
+    """Pipelined train step: the tuple batch flattens to ``B*(1+P+M+1)``
+    submaps, streams through the stages as ``microbatches`` microbatches,
+    and the quadruplet loss is computed over the collected descriptors;
+    one ``jax.grad`` differentiates the whole schedule."""
+    pipeline = _make_pipeline_spmd(plan, mesh, axis, train=True)
+
+    def step(state: PPTrainState, batch):
+        flat, p, m = _flatten_tuples(batch)
+        bt, n, c = flat.shape
+        if bt % microbatches:
+            raise ValueError(
+                f"flat tuple batch {bt} not divisible by "
+                f"microbatches={microbatches}"
+            )
+        inputs = flat.reshape(microbatches, bt // microbatches, n, c)
+        b = batch["query"].shape[0]
+        t = 1 + p + m + 1
+
+        def loss_fn(pstack):
+            outbuf, new_sstack = pipeline(pstack, state.sstack, inputs)
+            desc = outbuf[-1].reshape(b, t, -1)
+            loss = loss_from_config(
+                loss_cfg, desc[:, 0], desc[:, 1:1 + p],
+                desc[:, 1 + p:1 + p + m], desc[:, -1],
+            )
+            return loss, new_sstack
+
+        (loss, new_sstack), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.pstack)
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.pstack
+        )
+        return state.replace(
+            step=state.step + 1,
+            pstack=optax.apply_updates(state.pstack, updates),
+            sstack=new_sstack,
+            opt_state=new_opt,
+        ), loss
+
+    return jax.jit(
+        step,
+        donate_argnums=(0,) if donate else (),
+        compiler_options=_tpu_compiler_options(),
+    )

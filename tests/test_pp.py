@@ -1,0 +1,236 @@
+"""Pipeline parallelism (parallel/pp.py) on the virtual CPU fleet.
+
+The staged forward must reproduce the monolithic DescriptorNet exactly
+(same math, same params — stage variables are subtrees of the full tree),
+the stack packing must round-trip losslessly, and the pipelined train step
+must match a microbatch-sequential reference (full model applied per
+microbatch with BN statistics carried) in loss AND gradients — the
+gradient check exercises jax.grad through the whole scan/ppermute/switch
+schedule.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lpdnet_tpu.configs import FeatureConfig, LossConfig, ModelConfig, TrainConfig
+from lpdnet_tpu.data.synthetic import make_synthetic_dataset
+from lpdnet_tpu.data.tuples import TupleSampler
+from lpdnet_tpu.losses import loss_from_config
+from lpdnet_tpu.models.model import init_model
+from lpdnet_tpu.parallel.pp import (
+    PPTrainState,
+    build_plan,
+    create_pp_train_state,
+    make_pp_embed_fn,
+    make_pp_mesh,
+    make_pp_train_step,
+    place_stacks,
+    stacks_to_variables,
+    variables_to_stacks,
+)
+from lpdnet_tpu.train.step import _flatten_tuples
+
+N = 64
+
+
+def tiny_cfg(**kw) -> ModelConfig:
+    return ModelConfig(
+        trunk="lpdnet", num_points=N, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6, features=FeatureConfig(k=6, knn_block=64),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def bits():
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    pts = (
+        np.random.RandomState(1).randn(8, N, 3).astype(np.float32) * 0.3
+    )
+    return cfg, model, variables, jnp.asarray(pts)
+
+
+def test_stack_roundtrip(bits):
+    cfg, model, variables, _ = bits
+    for s in (1, 2, 3, 4):
+        plan = build_plan(cfg, s, variables)
+        pstack, sstack = variables_to_stacks(plan, variables)
+        assert pstack.shape == (s, plan.p_max)
+        back = stacks_to_variables(plan, pstack, sstack)
+        for src, dst in (
+            (variables["params"], back["params"]),
+            (variables["batch_stats"], back["batch_stats"]),
+        ):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                src, dst,
+            )
+
+
+def test_plan_rejects_bad_stage_counts(bits):
+    cfg, _, variables, _ = bits
+    with pytest.raises(ValueError, match="num_stages"):
+        build_plan(cfg, 5, variables)
+    with pytest.raises(NotImplementedError, match="lpdnet"):
+        build_plan(
+            ModelConfig(trunk="pointnetvlad", num_points=N),
+            2,
+            variables,
+        )
+
+
+@pytest.mark.parametrize("stages,micro", [(4, 2), (2, 4), (1, 8), (3, 1)])
+def test_pp_embed_matches_full_model(bits, stages, micro):
+    cfg, model, variables, pts = bits
+    ref = model.apply(variables, pts, train=False)
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(plan, mesh, microbatch_size=pts.shape[0] // micro)
+    out = embed(pstack, sstack, pts)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def _microbatched_reference(model, params, batch_stats, inputs, loss_cfg,
+                            b, t):
+    """Sequential-microbatch forward with carried BN state: the semantics
+    the pipeline implements (per-microbatch batch statistics)."""
+
+    def loss_fn(params):
+        bs = batch_stats
+        descs = []
+        for i in range(inputs.shape[0]):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": bs},
+                inputs[i], train=True, mutable=["batch_stats"],
+            )
+            bs = mut["batch_stats"]
+            descs.append(out)
+        desc = jnp.concatenate(descs, axis=0).reshape(b, t, -1)
+        p = 2
+        m = 4
+        loss = loss_from_config(
+            loss_cfg, desc[:, 0], desc[:, 1:1 + p],
+            desc[:, 1 + p:1 + p + m], desc[:, -1],
+        )
+        return loss, bs
+
+    return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+
+def _tuple_batch(b=2):
+    ds = make_synthetic_dataset(
+        num_places=6, submaps_per_place=4, num_points=N
+    )
+    sampler = TupleSampler(ds.queries, ds.loader, num_pos=2, num_neg=4)
+    rng = np.random.RandomState(0)
+    _, batch = next(sampler.epoch_batches(b, rng))
+    return batch
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stages,micro", [(3, 2), (4, 4)])
+def test_pp_train_step_matches_microbatched_reference(bits, stages, micro):
+    cfg, model, variables, _ = bits
+    loss_cfg = LossConfig(lazy=True, ignore_zero_loss=False)
+    train_cfg = TrainConfig(
+        batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3, loss=loss_cfg,
+    )
+    batch = _tuple_batch(b=2)
+    flat, p, m = _flatten_tuples(
+        jax.tree_util.tree_map(jnp.asarray, batch)
+    )
+    b, t = 2, 1 + p + m + 1
+    inputs = flat.reshape(micro, flat.shape[0] // micro, N, 3)
+
+    (ref_loss, ref_stats), ref_grads = _microbatched_reference(
+        model, variables["params"], variables["batch_stats"], inputs,
+        loss_cfg, b, t,
+    )
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages)
+    state = create_pp_train_state(plan, mesh, variables, train_cfg)
+    step = make_pp_train_step(
+        plan, loss_cfg, mesh, microbatches=micro, donate=False
+    )
+    new_state, loss = step(state, batch)
+
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+    # Gradients: recover the per-parameter trees from the step's update.
+    # Adam's first moment after step 1 is (1 - b1) * grad, so compare the
+    # moment stack against the reference grads.
+    mu = new_state.opt_state[0].mu
+    grad_vars = stacks_to_variables(
+        plan, mu / (1.0 - 0.9), jnp.zeros_like(new_state.sstack)
+    )
+    flat_ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    }
+    flat_pp = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(
+            grad_vars["params"]
+        )[0]
+    }
+    assert set(flat_ref) == set(flat_pp)
+    for k in flat_ref:
+        # Two noise sources between the pipelined schedule and the
+        # python-loop reference: f32 reduction-order noise (~2e-5 abs) and
+        # DISCRETE near-tie flips in the feature-space kNN graph (noise in
+        # h flips a neighbour choice, which routes max-aggregation grads
+        # differently — measured <=2e-4 abs on <0.3% of edge_feature
+        # elements). Real wiring bugs produce O(1) differences.
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
+            atol=5e-4, rtol=1e-2, err_msg=k,
+        )
+
+    # BN statistics: the pipeline's final stats must match the carried
+    # reference state.
+    pp_stats = stacks_to_variables(
+        plan, new_state.pstack, new_state.sstack
+    )["batch_stats"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        ref_stats, pp_stats,
+    )
+
+
+@pytest.mark.slow
+def test_pp_train_step_learns(bits):
+    cfg, model, variables, _ = bits
+    loss_cfg = LossConfig(lazy=True)
+    train_cfg = TrainConfig(
+        batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3, loss=loss_cfg,
+    )
+    plan = build_plan(cfg, 2, variables)
+    mesh = make_pp_mesh(2)
+    state = create_pp_train_state(plan, mesh, variables, train_cfg)
+    step = make_pp_train_step(plan, loss_cfg, mesh, microbatches=2)
+    batch = _tuple_batch(b=2)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+    # The stacks really live stage-sharded on the mesh.
+    assert len(state.pstack.sharding.device_set) == 2
