@@ -369,7 +369,7 @@ def main():
             "unit": "submaps/s",
             "vs_baseline": round(e2e_rate / 1000.0, 4),
             "detail": {
-                "pipeline": "native .bin batch load + f16 wire + lpdnet bf16 "
+                "pipeline": "native .bin batch load + int8 wire + lpdnet bf16 "
                             "embed + recall@25 retrieval (2 runs, 2048-db)",
                 "total_submaps": total,
                 "embed_submaps_per_sec": round(embed_rate, 1),
