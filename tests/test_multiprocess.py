@@ -44,8 +44,10 @@ def test_process_local_slice_single_process():
         process_local_slice(mesh, "data", 12)
 
 
-def _launch_cluster(log_dir: str, *extra_args: str) -> None:
-    """Run one 2-worker x 4-CPU-device cluster to completion."""
+def _launch_cluster(log_dir: str, *extra_args: str,
+                    expect_crash: bool = False) -> None:
+    """Run one 2-worker x 4-CPU-device cluster to completion (or, with
+    ``expect_crash``, to the simulated mid-epoch crash both workers hit)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -74,7 +76,11 @@ def _launch_cluster(log_dir: str, *extra_args: str) -> None:
         out, _ = p.communicate(timeout=600)
         outs.append(out)
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        if expect_crash:
+            assert p.returncode == 7, f"expected simulated crash:\n{out[-4000:]}"
+            assert "simulated crash" in out, out[-4000:]
+        else:
+            assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
 
 @pytest.mark.slow
@@ -197,6 +203,76 @@ def test_two_process_tp_sharded_checkpoint_resume(tmp_path):
     assert epoch == 1 and int(state.step) == 12
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.slow
+def test_two_process_mid_epoch_kill_and_resume(tmp_path):
+    """Failure recovery on the CLUSTER (SURVEY §5 failure-detection row,
+    previously proven single-process only): a 2-process run whose workers
+    both die mid-epoch 1 (deterministic data order -> same batch on every
+    process, so the crash is collective-safe) must leave a committed
+    step checkpoint + position sidecar, and a resumed cluster must land on
+    EXACTLY the final state of an uninterrupted cluster run."""
+    import jax
+
+    from lpdnet_tpu.train.state import create_train_state
+    from lpdnet_tpu.utils.checkpoint import CheckpointManager
+    from tests.mp_worker import tiny_config
+
+    full_dir = str(tmp_path / "full")
+    res_dir = str(tmp_path / "res")
+
+    # A: uninterrupted 2-epoch cluster run with step checkpoints every 2
+    # (3 global batches/epoch at DP=8 -> step saves at 2 and 5, epoch-end
+    # saves at 3 and 6).
+    _launch_cluster(full_dir, "--checkpoint_every_steps", "2")
+
+    # B: identical run crashed at global batch 5 (epoch 1, batch 2) — one
+    # batch after the step-5 mid-epoch save. The worker's orderly-crash
+    # path grace-sleeps so the async Orbax commit (a cross-process
+    # barrier) finalizes before the processes die.
+    _launch_cluster(
+        res_dir, "--checkpoint_every_steps", "2", "--kill_after", "5",
+        expect_crash=True,
+    )
+    mgr = CheckpointManager(os.path.join(res_dir, "checkpoints"))
+    key = mgr.latest_key()
+    extra = mgr.load_extra(key)
+    mgr.close()
+    assert key == 5, key
+    assert extra is not None
+    assert int(extra["epoch"]) == 1 and int(extra["next_batch"]) == 2
+    assert int(extra["mining_valid"]) == 1  # past warmup: cache snapshot
+
+    # C: resume the cluster in B's log dir; must finish at step 6.
+    _launch_cluster(
+        res_dir, "--checkpoint_every_steps", "2", "--resume",
+    )
+    resumes = _read_events(res_dir, "resume")
+    assert len(resumes) == 1 and resumes[0]["epoch"] == 1
+    assert resumes[0]["batch"] == 2
+
+    # Final states (key 6 in both dirs) must be bit-comparable: same
+    # topology, same build, deterministic (seed, epoch, batch) randomness.
+    def final_state(log_dir):
+        cfg = tiny_config(log_dir)
+        _, state = create_train_state(
+            cfg.model, cfg.train, jax.random.key(cfg.train.seed),
+            examples_per_step=8,
+        )
+        m = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+        state, epoch = m.restore(state)
+        m.close()
+        assert int(state.step) == 6 and epoch == 1
+        return state
+
+    a, c = final_state(full_dir), final_state(res_dir)
+    for la, lc in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(c)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lc), rtol=0, atol=1e-7
+        )
 
 
 def test_null_logger_interface():
