@@ -47,8 +47,11 @@ def _peak_flops() -> float:
 
 def _aot_compile(jitted, *args):
     """One AOT compile (reused for execution, so the program compiles
-    exactly once) + its FLOP count from XLA cost analysis (scan trip
-    counts included; 0.0 if the backend can't report it)."""
+    exactly once) + its FLOP count from XLA cost analysis. NB: XLA counts
+    a lax.scan body ONCE — the trip count is NOT multiplied (verified
+    empirically with a counted-matmul scan), so scan-chained callers must
+    multiply by their own iteration count. 0.0 if the backend can't
+    report it."""
     compiled = jitted.lower(*args).compile()
     try:
         ca = compiled.cost_analysis()
@@ -107,7 +110,7 @@ def bench_throughput(
     best = 0.0
     best_bs = 0
     best_mfu = 0.0
-    gflops_per_submap = 0.0
+    best_gflops = 0.0
     for bs in batch_sizes:
         pts = jnp.asarray(
             rs.randn(bs, cfg.num_points, 3).astype(np.float32) * 0.3
@@ -135,7 +138,8 @@ def bench_throughput(
         )
         if rate > best:
             best, best_bs, best_mfu = rate, bs, mfu
-    return best, best_bs, best_mfu, gflops_per_submap
+            best_gflops = gflops_per_submap
+    return best, best_bs, best_mfu, best_gflops
 
 
 def bench_train_step(batch_queries=2, iters=8):

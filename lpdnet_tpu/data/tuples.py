@@ -177,9 +177,12 @@ class TupleSampler:
                 "negatives": flat[:, 1 + p : 1 + p + m],
                 "other_neg": flat[:, -1],
             }
-        from lpdnet_tpu.utils.wire import encode_points
+        from lpdnet_tpu.utils.wire import encode_batch
 
-        return {k: encode_points(v, transfer_dtype) for k, v in batch.items()}
+        # One dtype decision across all four components: _flatten_tuples
+        # concatenates them, so a per-component float16 fallback would
+        # produce a mixed-dtype batch that decodes with the wrong scale.
+        return encode_batch(batch, transfer_dtype)
 
     def epoch_batches(
         self,

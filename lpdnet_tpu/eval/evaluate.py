@@ -65,9 +65,13 @@ def get_latent_vectors(
                 pts = batch_loader(names)
             else:
                 pts = np.stack([loader(n) for n in names])
+            # strict on multi-process sweeps: the wire dtype is baked into
+            # the shared SPMD program and must not vary per process with
+            # the data (utils/wire.py).
             yield encode_points(
                 pad_batch(pts, batch_size if local_rows is None
-                          else len(names)), transfer_dtype
+                          else len(names)), transfer_dtype,
+                strict=local_rows is not None,
             ), len(ids)
 
     nbatches = -(-len(indices) // batch_size)

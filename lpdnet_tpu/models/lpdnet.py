@@ -26,6 +26,13 @@ from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather_trainable
 from lpdnet_tpu.models.pointnet import PointMLP
 
 
+def knn_dist_dtype(dtype) -> str:
+    """Distance-matrix dtype for the trunk's kNN scans: bf16 compute keeps
+    the (blocked) pairwise distances in bf16 too; anything else stays f32.
+    Shared by the monolithic trunk and the pipelined stages (parallel/pp.py)."""
+    return "bfloat16" if jnp.dtype(dtype) == jnp.bfloat16 else "float32"
+
+
 class EdgeConv(nn.Module):
     """Shared MLP over ``[x_j - x_i, x_i]`` edges + max over neighbours.
 
@@ -147,9 +154,7 @@ class LPDNetFeat(nn.Module):
         # Graph 1: neighbourhoods in Cartesian space (fixed geometry). The
         # on-device feature stage already ran this exact kNN search —
         # ``idx_xyz`` reuses it instead of paying for a second one.
-        dist_dtype = (
-            "bfloat16" if jnp.dtype(self.dtype) == jnp.bfloat16 else "float32"
-        )
+        dist_dtype = knn_dist_dtype(self.dtype)
         if idx_xyz is None:
             idx_xyz = knn_indices(
                 xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,

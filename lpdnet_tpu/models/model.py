@@ -27,6 +27,24 @@ from lpdnet_tpu.ops.features import eigen_features_and_knn
 from lpdnet_tpu.ops.morton import morton_sort
 
 
+def knn_window_policy(cfg: ModelConfig):
+    """Morton-window policy, shared by the monolithic forward and the
+    pipelined one (parallel/pp.py): the exact_knn audit path stays
+    full/exact, and the fused_stats kernel (a kept negative result)
+    predates windowing. Returns the window size or None (full scans)."""
+    if cfg.exact_knn or cfg.features.fused_stats:
+        return None
+    return cfg.knn_window
+
+
+def use_pallas_gather(cfg: ModelConfig) -> bool:
+    """Pallas-gather policy shared by the monolithic and pipelined
+    forwards: 'auto' enables the kernels off-CPU."""
+    if cfg.pallas_gather == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return cfg.pallas_gather == "on"
+
+
 class DescriptorNet(nn.Module):
     """Trunk (PointNet or LPD-Net) + NetVLAD head -> global descriptor."""
 
@@ -38,19 +56,12 @@ class DescriptorNet(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
 
         if cfg.trunk == "lpdnet":
-            if cfg.pallas_gather == "auto":
-                use_pallas = jax.default_backend() not in ("cpu",)
-            else:
-                use_pallas = cfg.pallas_gather == "on"
+            use_pallas = use_pallas_gather(cfg)
             # Morton-window kNN: sort the submap by Morton code (the model
             # is permutation-invariant, so only approximate-selection
             # tie-breaks can differ) so every kNN candidate scan can be
-            # windowed. The exact_knn audit path stays full/exact, and the
-            # fused_stats kernel (a kept negative result) predates windowing.
-            window = (
-                None if (cfg.exact_knn or cfg.features.fused_stats)
-                else cfg.knn_window
-            )
+            # windowed.
+            window = knn_window_policy(cfg)
             if window is not None:
                 x = morton_sort(x)
             idx_xyz = None

@@ -31,7 +31,7 @@ single-process run over the same global mesh (tested in
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -82,6 +82,15 @@ def initialize_from_args(args) -> bool:
     if getattr(args, "num_processes", None):
         initialize(args.coordinator, args.num_processes, args.process_id)
         return True
+    if (getattr(args, "coordinator", None) is not None
+            or getattr(args, "process_id", None) is not None):
+        # Refuse to run N independent single-process jobs into one shared
+        # log_dir because one flag was forgotten — that corrupts
+        # checkpoints/sidecars far into training instead of failing here.
+        raise ValueError(
+            "--coordinator/--process_id require --num_processes "
+            "(explicit multi-process init needs all three)"
+        )
     if getattr(args, "distributed", False):
         initialize()
         return True
@@ -101,6 +110,9 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+_slice_cache: Dict = {}
+
+
 def process_local_slice(mesh, axis: str, global_rows: int) -> slice:
     """The rows of a ``P(axis)``-sharded batch owned by this process.
 
@@ -109,8 +121,17 @@ def process_local_slice(mesh, axis: str, global_rows: int) -> slice:
     ids group by process; ``make_multislice_mesh`` rows group by slice =
     process group, which is also contiguous) and ``axis`` must divide the
     batch — both are asserted loudly rather than mis-fed silently.
+
+    Memoized per (mesh, axis, rows): the device-grid scan is constant for
+    a given mesh but sits on the per-batch feeding path (``shard_batch_mp``
+    calls this for every tuple leaf of every training step).
     """
     import jax
+
+    cache_key = (mesh, axis, global_rows)
+    cached = _slice_cache.get(cache_key)
+    if cached is not None:
+        return cached
 
     axis_size = mesh.shape[axis]
     if global_rows % axis_size:
@@ -139,7 +160,9 @@ def process_local_slice(mesh, axis: str, global_rows: int) -> slice:
             f"(positions {positions}); build the mesh in jax.devices() "
             "order"
         )
-    return slice(positions[0] * block, (positions[-1] + 1) * block)
+    result = slice(positions[0] * block, (positions[-1] + 1) * block)
+    _slice_cache[cache_key] = result
+    return result
 
 
 def shard_batch_mp(batch: Any, mesh, axis: str = "data") -> Any:

@@ -59,7 +59,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lpdnet_tpu.configs import LossConfig, ModelConfig, TrainConfig
 from lpdnet_tpu.losses import loss_from_config
-from lpdnet_tpu.models.lpdnet import EdgeConv, LPDNetFeat
+from lpdnet_tpu.models.lpdnet import (
+    EdgeConv, LPDNetFeat, knn_dist_dtype,
+)
+from lpdnet_tpu.models.model import knn_window_policy, use_pallas_gather
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
 from lpdnet_tpu.models.pointnet import PointMLP
 from lpdnet_tpu.ops.features import eigen_features_and_knn
@@ -68,26 +71,14 @@ from lpdnet_tpu.ops.morton import morton_sort
 from lpdnet_tpu.train.state import make_optimizer
 from lpdnet_tpu.train.step import _flatten_tuples, _tpu_compiler_options
 
-
-def _window(cfg: ModelConfig) -> Optional[int]:
-    """Same Morton-window policy as the full model (models/model.py)."""
-    if cfg.exact_knn or cfg.features.fused_stats:
-        return None
-    return cfg.knn_window
-
-
-def _use_pallas(cfg: ModelConfig) -> bool:
-    if cfg.pallas_gather == "auto":
-        return jax.default_backend() not in ("cpu",)
-    return cfg.pallas_gather == "on"
+# Forward-policy helpers are SHARED with the monolithic model so the
+# pipelined stages can never drift from DescriptorNet's behavior.
+_window = knn_window_policy
+_use_pallas = use_pallas_gather
 
 
 def _dist_dtype(cfg: ModelConfig) -> str:
-    return (
-        "bfloat16"
-        if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-        else "float32"
-    )
+    return knn_dist_dtype(cfg.compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -311,10 +302,18 @@ class PipelinePlan:
 
 
 def build_plan(
-    cfg: ModelConfig, num_stages: int, variables: Dict[str, Any]
+    cfg: ModelConfig, num_stages: int, variables: Dict[str, Any],
+    input_width: Optional[int] = None,
 ) -> PipelinePlan:
     """Partition the model into ``num_stages`` contiguous stage groups and
-    record the static flatten/pad layout from a template ``variables``."""
+    record the static flatten/pad layout from a template ``variables``.
+
+    ``input_width``: channels of the batches this pipeline will be fed
+    (defaults to raw xyz when the feature stage runs on device, else
+    ``cfg.input_dim``). Pass 13 to feed precomputed-feature submaps —
+    the monolithic model dispatches on ``x.shape[-1]`` at runtime, but the
+    pipeline's activation buffer layout is static, so the width is part of
+    the plan; the embed/train fns reject batches of any other width."""
     units = _make_units(cfg)
     if not 1 <= num_stages <= len(units):
         raise ValueError(
@@ -324,10 +323,13 @@ def build_plan(
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     param_specs, stats_specs, in_widths = [], [], []
-    in_w = (
-        3 if (cfg.compute_features_on_device and cfg.trunk == "lpdnet")
-        else cfg.input_dim
-    )
+    if input_width is not None:
+        in_w = input_width
+    else:
+        in_w = (
+            3 if (cfg.compute_features_on_device and cfg.trunk == "lpdnet")
+            else cfg.input_dim
+        )
     for g in groups:
         param_specs.append(_flatten_spec(_stage_tree(params, g)))
         stats_specs.append(_flatten_spec(_stage_tree(stats, g)))
@@ -464,11 +466,17 @@ def _make_pipeline_spmd(
             x_t = jax.lax.dynamic_index_in_dim(
                 inputs, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
+            # Stage-0 inputs stay f32: quantizing raw coordinates to the
+            # bf16 wire (~4e-3 on [-1,1]) would violate the wire-fidelity
+            # policy (utils/wire.py keeps even the training wire at
+            # ~3e-5). Only the ppermuted inter-stage activations — hidden
+            # features already computed in the compute dtype — ride the
+            # compact wire.
             x_enc = jnp.pad(
-                x_t.astype(wire),
+                x_t.astype(jnp.float32),
                 ((0, 0), (0, 0), (0, plan.buf_width - x_t.shape[-1])),
             )
-            act_in = jnp.where(stage == 0, x_enc, act)
+            act_in = jnp.where(stage == 0, x_enc, act.astype(jnp.float32))
             act_out, desc, new_svec = run_stage(stage, act_in, pvec, svec)
             if train:
                 # Only ticks carrying a real microbatch update BN state.
@@ -539,6 +547,12 @@ def make_pp_embed_fn(
             raise ValueError(
                 f"batch {b} not divisible by microbatch {microbatch_size}"
             )
+        if c != plan.in_widths[0]:
+            raise ValueError(
+                f"pipeline plan expects {plan.in_widths[0]}-channel inputs "
+                f"(build_plan input_width), got {c} — a mismatch would "
+                "silently truncate or garbage-pad stage 0"
+            )
         inputs = points.reshape(b // microbatch_size, microbatch_size, n, c)
         outbuf, _ = pipeline(pstack, sstack, inputs)
         return outbuf[-1].reshape(b, plan.cfg.output_dim)
@@ -606,6 +620,11 @@ def make_pp_train_step(
             raise ValueError(
                 f"flat tuple batch {bt} not divisible by "
                 f"microbatches={microbatches}"
+            )
+        if c != plan.in_widths[0]:
+            raise ValueError(
+                f"pipeline plan expects {plan.in_widths[0]}-channel inputs "
+                f"(build_plan input_width), got {c}"
             )
         inputs = flat.reshape(microbatches, bt // microbatches, n, c)
         b = batch["query"].shape[0]

@@ -67,7 +67,12 @@ class DescriptorCache:
                 pts = np.stack([self.sampler.load(i) for i in load_ids])
                 if local_rows is None:
                     pts = pad_batch(pts, bs)
-                yield encode_points(pts, transfer_dtype), len(ids)
+                # strict on multi-process sweeps: the wire dtype is baked
+                # into the shared SPMD program and must not vary per
+                # process with the data (utils/wire.py).
+                yield encode_points(
+                    pts, transfer_dtype, strict=local_rows is not None
+                ), len(ids)
 
         nbatches = -(-len(indices) // bs)
         self.vectors = sweep_embed(

@@ -22,54 +22,124 @@ Formats:
     coordinate noise — PERF_LOG round 3). The eval/mining/serving default.
 
 Submaps are normalized to roughly [-1, 1] (SURVEY §0), so the [-2, 2)
-range is ample; batches that do exceed it fall back to float16 (with a
-one-time warning) instead of clipping silently.
+range is ample. Out-of-range batches are handled two ways:
 
-Host side encodes with :func:`encode_points`; the jitted consumers decode
+  * default — fall back to float16 (with a one-time warning) instead of
+    clipping silently. The per-format limit is where ``round`` would leave
+    the integer range (int8: ~1.992, int16: ~1.99997), so the documented
+    max rounding error holds for every batch that stays fixed-point.
+  * ``strict=True`` — keep the requested dtype and CLIP (one-time
+    warning). Multi-process sweeps need this: the wire dtype is baked into
+    the shared SPMD program, so a data-dependent per-process fallback
+    would hand ``make_array_from_process_local_data`` mismatched local
+    dtypes across the fleet.
+
+Host side encodes with :func:`encode_points` (dicts of tuple components
+with :func:`encode_batch`, which makes ONE dtype decision for all
+components — a per-component fallback would concatenate mixed dtypes in
+``_flatten_tuples`` and decode incorrectly); the jitted consumers decode
 with :func:`decode_points` (dtype dispatch is static under trace, so each
 wire format is simply its own compiled specialization).
 """
 
 from __future__ import annotations
 
+from typing import Dict
+
 import numpy as np
 
 INT16_SCALE = 2.0**14  # covers [-2, 2) at ~3.1e-5 max rounding error
 INT8_SCALE = 2.0**6  # covers [-2, 2) at ~7.8e-3 max rounding error
-_RANGE_LIMIT = 1.9999
+_FORMATS = {
+    "int16": (INT16_SCALE, np.int16, -32768, 32767),
+    "int8": (INT8_SCALE, np.int8, -128, 127),
+}
 _warned_range = False
+_warned_clip = False
+
+
+def _safe_limit(scale: float, hi: int) -> float:
+    # Largest |x| for which round(x * scale) is guaranteed <= hi (0.49
+    # keeps a margin from round-half-to-even at exactly hi + 0.5).
+    return (hi + 0.49) / scale
+
+
+def _amax(pts: np.ndarray) -> float:
+    return float(np.max(np.abs(pts))) if pts.size else 0.0
+
+
+def _warn_fallback(amax: float, limit: float) -> None:
+    global _warned_range
+    if not _warned_range:
+        _warned_range = True
+        import warnings
+
+        warnings.warn(
+            f"fixed-point wire: coordinates reach |x|={amax:.3g} > "
+            f"{limit:.4g} (are the submaps normalized?); "
+            "falling back to float16 for out-of-range batches",
+            stacklevel=4,
+        )
+
+
+def _warn_clip(amax: float, limit: float) -> None:
+    global _warned_clip
+    if not _warned_clip:
+        _warned_clip = True
+        import warnings
+
+        warnings.warn(
+            f"fixed-point wire (strict): coordinates reach |x|={amax:.3g} "
+            f"> {limit:.4g} (are the submaps normalized?); clipping to "
+            "range (the multi-process wire dtype cannot vary per batch)",
+            stacklevel=4,
+        )
 
 
 def _encode_fixed_point(
-    pts: np.ndarray, scale: float, dtype, lo: int, hi: int
+    pts: np.ndarray, scale: float, dtype, lo: int, hi: int,
+    strict: bool = False,
 ) -> np.ndarray:
-    amax = float(np.max(np.abs(pts))) if pts.size else 0.0
-    if amax > _RANGE_LIMIT:
-        global _warned_range
-        if not _warned_range:
-            _warned_range = True
-            import warnings
-
-            warnings.warn(
-                f"fixed-point wire: coordinates reach |x|={amax:.3g} > "
-                f"{_RANGE_LIMIT} (are the submaps normalized?); "
-                "falling back to float16 for out-of-range batches",
-                stacklevel=3,
-            )
-        return pts.astype(np.float16)
+    limit = _safe_limit(scale, hi)
+    amax = _amax(pts)
+    if amax > limit:
+        if strict:
+            _warn_clip(amax, limit)
+        else:
+            _warn_fallback(amax, limit)
+            return pts.astype(np.float16)
     return np.clip(np.round(pts * scale), lo, hi).astype(dtype)
 
 
-def encode_points(pts: np.ndarray, transfer_dtype: str) -> np.ndarray:
-    """Encode a host batch of points for upload (any leading shape)."""
-    if transfer_dtype == "int16":
-        return _encode_fixed_point(
-            pts, INT16_SCALE, np.int16, -32768, 32767
-        )
-    if transfer_dtype == "int8":
-        return _encode_fixed_point(pts, INT8_SCALE, np.int8, -128, 127)
+def encode_points(
+    pts: np.ndarray, transfer_dtype: str, strict: bool = False
+) -> np.ndarray:
+    """Encode a host batch of points for upload (any leading shape).
+    ``strict``: never change the wire dtype on out-of-range data — clip
+    instead (required for multi-process sweeps; see module docstring)."""
+    fmt = _FORMATS.get(transfer_dtype)
+    if fmt is not None:
+        return _encode_fixed_point(pts, *fmt, strict=strict)
     wire = np.dtype(transfer_dtype)
     return pts if pts.dtype == wire else pts.astype(wire)
+
+
+def encode_batch(
+    batch: Dict[str, np.ndarray], transfer_dtype: str
+) -> Dict[str, np.ndarray]:
+    """Encode a dict of tuple components with ONE wire-dtype decision made
+    across ALL components: if any component is out of fixed-point range,
+    every component falls back to float16 together, so the concatenated
+    tuple stays a single dtype and decodes with a single scale."""
+    fmt = _FORMATS.get(transfer_dtype)
+    if fmt is not None:
+        scale, _, _, hi = fmt
+        limit = _safe_limit(scale, hi)
+        amax = max((_amax(v) for v in batch.values()), default=0.0)
+        if amax > limit:
+            _warn_fallback(amax, limit)
+            transfer_dtype = "float16"
+    return {k: encode_points(v, transfer_dtype) for k, v in batch.items()}
 
 
 def decode_points(points):

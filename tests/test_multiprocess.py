@@ -36,6 +36,34 @@ def _read_events(log_dir: str, event: str):
     return [r for r in recs if r["event"] == event]
 
 
+def test_initialize_from_args_rejects_partial_flags():
+    """--coordinator/--process_id without --num_processes must fail loud:
+    silently skipping distributed init would run N independent
+    single-process jobs into one shared log_dir."""
+    import argparse
+
+    from lpdnet_tpu.parallel.multiprocess import initialize_from_args
+
+    ns = argparse.Namespace(
+        distributed=False, coordinator="host:1234", num_processes=None,
+        process_id=0,
+    )
+    with pytest.raises(ValueError, match="num_processes"):
+        initialize_from_args(ns)
+    ns = argparse.Namespace(
+        distributed=False, coordinator=None, num_processes=None,
+        process_id=1,
+    )
+    with pytest.raises(ValueError, match="num_processes"):
+        initialize_from_args(ns)
+    # No distributed flags at all -> plain single-process run.
+    ns = argparse.Namespace(
+        distributed=False, coordinator=None, num_processes=None,
+        process_id=None,
+    )
+    assert initialize_from_args(ns) is False
+
+
 def test_process_local_slice_single_process():
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
     # One process owns everything -> the full range.

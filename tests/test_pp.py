@@ -85,6 +85,25 @@ def test_plan_rejects_bad_stage_counts(bits):
         )
 
 
+def test_pp_embed_rejects_width_mismatch(bits):
+    """The plan's activation-buffer layout is static: a batch wider than
+    the planned input (e.g. 13-channel precomputed features against a
+    3-channel plan) must fail loud, not silently truncate stage 0."""
+    cfg, _, variables, pts = bits
+    plan = build_plan(cfg, 2, variables)
+    mesh = make_pp_mesh(2)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(plan, mesh, microbatch_size=4)
+    wide = jnp.concatenate(
+        [pts, jnp.zeros((*pts.shape[:-1], 10), pts.dtype)], axis=-1
+    )
+    with pytest.raises(ValueError, match="channel inputs"):
+        embed(pstack, sstack, wide)
+    # And a plan built FOR 13-wide inputs accepts them.
+    plan13 = build_plan(cfg, 2, variables, input_width=13)
+    assert plan13.in_widths[0] == 13
+
+
 @pytest.mark.parametrize("stages,micro", [(4, 2), (2, 4), (1, 8), (3, 1)])
 def test_pp_embed_matches_full_model(bits, stages, micro):
     cfg, model, variables, pts = bits

@@ -72,3 +72,58 @@ def test_int8_roundtrip_and_neutrality(rng):
     assert enc.dtype == np.int8
     dec = np.asarray(decode_points(enc))
     assert np.max(np.abs(dec - pts)) <= 0.5 / INT8_SCALE + 1e-7
+
+
+def test_int8_near_limit_falls_back(rng):
+    """Coordinates in (127.49/64, 2) would round past int8's range and
+    decode with up to 2x the documented error — they must take the
+    fallback, not encode with silently-degraded precision."""
+    from lpdnet_tpu.utils.wire import INT8_SCALE
+
+    wire._warned_range = False
+    pts = np.full((1, 8, 3), 1.995, np.float32)  # > 127.49/64 ~ 1.99203
+    with pytest.warns(UserWarning, match="fixed-point wire"):
+        enc = encode_points(pts, "int8")
+    assert enc.dtype == np.float16
+    # Anything on the safe side still encodes with the documented bound.
+    safe = np.full((1, 8, 3), 1.99, np.float32)
+    enc = encode_points(safe, "int8")
+    assert enc.dtype == np.int8
+    dec = np.asarray(decode_points(enc))
+    assert np.max(np.abs(dec - safe)) <= 0.5 / INT8_SCALE + 1e-7
+
+
+def test_strict_mode_keeps_dtype_and_clips(rng):
+    """Multi-process sweeps bake the wire dtype into the shared SPMD
+    program: strict encoding must never change dtype with the data."""
+    wire._warned_clip = False
+    pts = rng.randn(2, 64, 3).astype(np.float32) * 40.0
+    with pytest.warns(UserWarning, match="clipping"):
+        enc = encode_points(pts, "int8", strict=True)
+    assert enc.dtype == np.int8
+    dec = np.asarray(decode_points(enc))
+    assert np.max(np.abs(dec)) <= 2.0  # clipped into range
+
+
+def test_encode_batch_single_dtype_decision(rng):
+    """One out-of-range tuple component must pull the WHOLE batch to
+    float16: _flatten_tuples concatenates the components, so mixed dtypes
+    would promote to f32 and skip the fixed-point descale entirely."""
+    from lpdnet_tpu.utils.wire import encode_batch
+
+    wire._warned_range = False
+    good = (rng.rand(2, 3, 64, 3).astype(np.float32) - 0.5) * 2
+    bad = np.full((2, 64, 3), 3.0, np.float32)  # out of range
+    batch = {
+        "query": good[:, 0], "positives": good[:, :2],
+        "negatives": good[:, 1:], "other_neg": bad,
+    }
+    with pytest.warns(UserWarning, match="fixed-point wire"):
+        enc = encode_batch(batch, "int16")
+    assert {v.dtype for v in enc.values()} == {np.dtype(np.float16)}
+    # All-in-range batches stay fixed-point.
+    batch["other_neg"] = good[:, 2]
+    enc = encode_batch(batch, "int16")
+    assert {v.dtype for v in enc.values()} == {np.dtype(np.int16)}
+    dec = np.asarray(decode_points(enc["query"]))
+    np.testing.assert_allclose(dec, batch["query"], atol=0.5 / INT16_SCALE + 1e-7)
