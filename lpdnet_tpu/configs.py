@@ -265,6 +265,20 @@ class MeshConfig:
     #   'fit': global batch stays batch_num_queries and the mesh shrinks to
     #     its largest divisor (the reference DataParallel's idling behavior).
     batch_scaling: str = "per_device"
+    # Pipeline parallelism (parallel/pp.py): with pipeline_stages > 1 the
+    # loop trains over a ('stage',) mesh — the lpdnet trunk's unit groups
+    # one-per-device, microbatches streaming GPipe-style. Exclusive with
+    # model_devices > 1 and multi-process runs; checkpoints stay in the
+    # standard payload (stage stacks convert losslessly), so PP runs
+    # save/restore interchangeably with every other path. At flagship
+    # scale this is a capability/latency-memory trade, not a throughput
+    # win (the whole replica fits one chip — see parallel/pp.py).
+    pipeline_axis: str = "stage"
+    pipeline_stages: int = 0
+    # Microbatch COUNT for the pipelined train step; 0 -> auto (smallest
+    # divisor of the flattened tuple batch >= 2*stages, keeping the GPipe
+    # bubble fraction (S-1)/(m+S-1) reasonable).
+    pipeline_microbatches: int = 0
 
 
 @dataclass(frozen=True)

@@ -542,6 +542,9 @@ def make_pp_embed_fn(
 
     @jax.jit
     def embed(pstack, sstack, points):
+        from lpdnet_tpu.utils.wire import decode_points
+
+        points = decode_points(points)  # reduced-precision wire -> f32
         b, n, c = points.shape
         if b % microbatch_size:
             raise ValueError(
@@ -656,4 +659,134 @@ def make_pp_train_step(
         step,
         donate_argnums=(0,) if donate else (),
         compiler_options=_tpu_compiler_options(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-loop integration (train/loop.py with MeshConfig.pipeline_stages):
+# microbatch sizing, the sweeps' variables-dict embed surface, and LOSSLESS
+# conversion between PPTrainState and the standard TrainState so pipelined
+# runs checkpoint/resume through the same payload as every other path.
+# ---------------------------------------------------------------------------
+
+
+def pick_microbatches(total: int, stages: int, requested: int = 0) -> int:
+    """Number of microbatches for a ``total``-item batch on ``stages``
+    stages: ``requested`` if given (must divide), else the smallest divisor
+    >= 2*stages (bubble fraction (S-1)/(m+S-1) <= ~1/3), else ``total``."""
+    if requested:
+        if total % requested:
+            raise ValueError(
+                f"pipeline_microbatches={requested} does not divide the "
+                f"batch ({total})"
+            )
+        return requested
+    for m in range(min(2 * stages, total), total):
+        if total % m == 0:
+            return m
+    return total
+
+
+def make_pp_sweep_embed_fn(
+    plan: PipelinePlan, mesh: Mesh, batch_size: int, axis: str = "stage"
+):
+    """The sweeps' ``embed_fn(variables, points)`` surface over the
+    pipeline: ``variables`` is the opaque dict the loop's ``model_vars``
+    produces — for PP that is the live stage stacks."""
+    m = pick_microbatches(batch_size, plan.num_stages)
+    embed = make_pp_embed_fn(plan, mesh, batch_size // m, axis)
+
+    def embed_vars(variables, points):
+        return embed(variables["pstack"], variables["sstack"], points)
+
+    return embed_vars
+
+
+def _map_stack_leaves(opt_state, fn, stack_shape):
+    """Apply ``fn`` to every opt-state leaf shaped like the param stack
+    (Adam moments, SGD trace, ...), passing scalars (counts) through."""
+
+    def cv(leaf):
+        arr = jnp.asarray(leaf)
+        if arr.shape == tuple(stack_shape):
+            return fn(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(cv, opt_state)
+
+
+def _walk_param_containers(node, fn):
+    """Rebuild an optax state, replacing each embedded params-tree (the
+    only dict-valued nodes optax states carry) via ``fn``; scalar leaves
+    and (named)tuples pass through structurally."""
+    if isinstance(node, dict) or type(node).__name__ == "FrozenDict":
+        return fn(node)
+    if isinstance(node, tuple):
+        children = [_walk_param_containers(c, fn) for c in node]
+        if hasattr(node, "_fields"):  # NamedTuple (optax states)
+            return type(node)(*children)
+        return tuple(children)
+    return node
+
+
+def pp_to_train_state(plan: PipelinePlan, pp_state: PPTrainState, template):
+    """PPTrainState -> standard TrainState (host-comparable, standard
+    checkpoint payload). Exact: stacking is concat+pad of f32 leaves, and
+    padded lanes hold zeros in params and moments alike."""
+    stats_fill = template.batch_stats
+    variables = stacks_to_variables(plan, pp_state.pstack, pp_state.sstack)
+
+    def unstack_params(stack):
+        return stacks_to_variables(plan, stack, pp_state.sstack)["params"]
+
+    opt_state = _map_stack_leaves(
+        pp_state.opt_state, unstack_params, pp_state.pstack.shape
+    )
+    del stats_fill
+    return template.replace(
+        step=pp_state.step,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=opt_state,
+    )
+
+
+def pp_from_train_state(
+    plan: PipelinePlan, mesh: Mesh, state, axis: str = "stage"
+) -> PPTrainState:
+    """Standard TrainState -> PPTrainState on the stage mesh (the exact
+    inverse of :func:`pp_to_train_state`; round-trip tested)."""
+    pstack, sstack = place_stacks(
+        plan, mesh,
+        {"params": state.params, "batch_stats": state.batch_stats}, axis,
+    )
+    sh = NamedSharding(mesh, P(axis))
+    zero_stats = jax.tree_util.tree_map(np.zeros_like, state.batch_stats)
+
+    def stack_params(tree):
+        stack, _ = variables_to_stacks(
+            plan, {"params": tree, "batch_stats": zero_stats}
+        )
+        return jax.device_put(stack, sh)
+
+    opt_state = _walk_param_containers(state.opt_state, stack_params)
+    # Scalar leaves (Adam/schedule counts, step) must be committed to the
+    # stage mesh too: a restored checkpoint's leaves are committed to the
+    # default device, and jit refuses mixed committed placements.
+    rep = NamedSharding(mesh, P())
+    stack_shape = tuple(pstack.shape)
+
+    def place_scalar(leaf):
+        arr = jnp.asarray(leaf)
+        if arr.shape == stack_shape:
+            return leaf  # already placed by stack_params
+        return jax.device_put(arr, rep)
+
+    opt_state = jax.tree_util.tree_map(place_scalar, opt_state)
+    return PPTrainState(
+        step=jax.device_put(jnp.asarray(state.step, jnp.int32), rep),
+        pstack=pstack,
+        sstack=sstack,
+        opt_state=opt_state,
+        tx=state.tx,
     )

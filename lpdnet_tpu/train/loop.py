@@ -69,6 +69,23 @@ def train(
     mesh = None
     global_batch = tc.batch_num_queries
     mp = cfg.mesh.model_devices if use_mesh else 1
+    # Pipeline parallelism (parallel/pp.py): a ('stage',) mesh instead of
+    # the data/model mesh; batches upload replicated and stream through
+    # the stages as microbatches. Checkpoints stay in the standard payload
+    # (the stage stacks convert losslessly), so PP runs save/restore
+    # interchangeably with every other path.
+    pp_mode = use_mesh and cfg.mesh.pipeline_stages > 1
+    if pp_mode:
+        if nproc > 1:
+            raise ValueError(
+                "pipeline_stages > 1 is single-process (the stage mesh "
+                "spans local devices); drop --distributed/--num_processes"
+            )
+        if mp > 1:
+            raise ValueError(
+                "pipeline_stages is exclusive with model_devices "
+                "(stage mesh vs (data, model) mesh)"
+            )
     # Tensor parallelism across processes: the model-sharded state is not
     # fully addressable on any host, so checkpoints flow through Orbax's
     # sharded save/restore (each process writes/reads its own shards)
@@ -76,7 +93,7 @@ def train(
     sharded_ckpt = nproc > 1 and mp > 1
     if nproc > 1 and not use_mesh:
         raise ValueError("multi-process training requires the mesh path")
-    if use_mesh:
+    if use_mesh and not pp_mode:
         avail = cfg.mesh.num_devices or len(jax.devices())
         avail_data = avail // mp
         if avail_data < 1:
@@ -131,7 +148,38 @@ def train(
         cfg.model, tc, jax.random.key(tc.seed),
         examples_per_step=global_batch,
     )
-    if mp > 1:
+    pp_plan = pp_mesh = pp_template = None
+    if pp_mode:
+        from lpdnet_tpu.parallel import pp as pplib
+
+        pp_plan = pplib.build_plan(
+            cfg.model, cfg.mesh.pipeline_stages,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        pp_mesh = pplib.make_pp_mesh(
+            cfg.mesh.pipeline_stages, cfg.mesh.pipeline_axis
+        )
+        flat_total = global_batch * (
+            1 + tc.positives_per_query + tc.negatives_per_query + 1
+        )
+        micro = pplib.pick_microbatches(
+            flat_total, cfg.mesh.pipeline_stages,
+            cfg.mesh.pipeline_microbatches,
+        )
+        logger.log(
+            "pipeline", stages=cfg.mesh.pipeline_stages,
+            microbatches=micro, flat_batch=flat_total,
+            stage_params=pp_plan.param_sizes,
+        )
+        train_step = pplib.make_pp_train_step(
+            pp_plan, tc.loss, pp_mesh, micro, axis=cfg.mesh.pipeline_axis
+        )
+        embed_fn = pplib.make_pp_sweep_embed_fn(
+            pp_plan, pp_mesh, cfg.eval.batch_size,
+            axis=cfg.mesh.pipeline_axis,
+        )
+        embed_many_fn = None  # scan-chunk sweep is a data-mesh option
+    elif mp > 1:
         # Tensor-parallel head over the 2-D mesh: same step program, the
         # head's shardings drive XLA's collective placement (parallel/tp.py).
         from lpdnet_tpu.parallel.tp import make_tp_embed_fn, make_tp_train_step
@@ -215,6 +263,13 @@ def train(
             state = shard_state(state, mesh, cfg.mesh.model_axis)
         else:
             state = replicate(state, mesh)
+    if pp_mode:
+        # Convert the (possibly just-restored) standard state onto the
+        # stage mesh; keep the standard template for checkpoint saves.
+        pp_template = state
+        state = pplib.pp_from_train_state(
+            pp_plan, pp_mesh, state, axis=cfg.mesh.pipeline_axis
+        )
 
     cache = DescriptorCache(res.sampler, batch_size=cfg.eval.batch_size)
     mining = tc.mining
@@ -225,6 +280,8 @@ def train(
         )
 
     def model_vars(s):
+        if pp_mode:
+            return {"pstack": s.pstack, "sstack": s.sstack}
         return {"params": s.params, "batch_stats": s.batch_stats}
 
     def refresh_cache(epoch, queries):
@@ -252,6 +309,11 @@ def train(
         # Sharded-checkpoint mode keeps the jax.Arrays (Orbax copies
         # device->host synchronously before the async disk write, so
         # donation into the next step is safe); otherwise the host copy.
+        # PP converts the stage stacks back to the standard payload.
+        if pp_mode:
+            return jax.device_get(
+                pplib.pp_to_train_state(pp_plan, state, pp_template)
+            )
         return state if sharded_ckpt else jax.device_get(state)
 
     saved_keys: set = set()
@@ -412,6 +474,10 @@ def train(
         from lpdnet_tpu.parallel.tp import gather_tree
 
         final_state = gather_tree(state, mesh)
+    elif pp_mode:
+        final_state = jax.device_get(
+            pplib.pp_to_train_state(pp_plan, state, pp_template)
+        )
     else:
         final_state = jax.device_get(state)
     return {"state": final_state, "eval": results, "model": model}

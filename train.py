@@ -57,6 +57,13 @@ def parse_args():
                    choices=["per_device", "fit"],
                    help="per_device: global batch = batch_num_queries x mesh "
                         "size; fit: shrink the mesh to divide the batch")
+    p.add_argument("--pp_stages", type=int, default=None,
+                   help="pipeline-parallel stage count (1-4): GPipe over a "
+                        "'stage' mesh (parallel/pp.py); exclusive with "
+                        "--model_devices and multi-process runs")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="microbatch count for the pipelined step "
+                        "(default: auto)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                    help="activation/matmul compute dtype")
@@ -128,6 +135,10 @@ def main():
     if args.model_devices is not None:
         over["mesh.model_devices"] = args.model_devices
     if args.batch_scaling: over["mesh.batch_scaling"] = args.batch_scaling
+    if args.pp_stages is not None:
+        over["mesh.pipeline_stages"] = args.pp_stages
+    if args.pp_microbatches is not None:
+        over["mesh.pipeline_microbatches"] = args.pp_microbatches
     if args.dtype: over["model.compute_dtype"] = args.dtype
     from lpdnet_tpu.configs import parse_override_value
 
