@@ -279,6 +279,14 @@ class MeshConfig:
     # divisor of the flattened tuple batch >= 2*stages, keeping the GPipe
     # bubble fraction (S-1)/(m+S-1) reasonable).
     pipeline_microbatches: int = 0
+    # DPxPP: with pipeline_data_replicas > 1 the loop builds a 2-D
+    # (data, stage) mesh of that many data-parallel pipeline replicas —
+    # microbatch rows shard over the data axis, gradients all-reduce
+    # across replicas, per-device batch scaling applies (global batch =
+    # batch_num_queries x replicas under 'per_device'). BatchNorm is
+    # per-replica with one cross-replica stats average per step (the
+    # parallel/ddp.py convention).
+    pipeline_data_replicas: int = 1
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,16 @@ spatial EdgeConv] -> [feature-graph EdgeConv] -> [post-MLP] -> [NetVLAD
 head]; ``num_stages`` in 1..4 groups contiguous units evenly. At flagship
 scale PP is a latency/memory trade (the model fits one chip comfortably) —
 this is the framework capability, validated on the virtual fleet.
+
+DPxPP composition
+  ``make_pp_mesh(stages, data=D)`` builds a 2-D ``(data, stage)`` mesh of D
+  data-parallel pipeline replicas. Microbatch rows shard over ``data``
+  (specs only — same schedule program), the stage stacks stay replicated
+  across replicas (shard_map's transpose psums their cotangents: the
+  gradient all-reduce), the loss is computed globally outside the
+  shard_map, and BatchNorm statistics are per-replica with one cross-
+  replica average per step (the parallel/ddp.py convention). Reachable
+  from the CLI via ``--pp_stages S --pp_data D``.
 """
 
 from __future__ import annotations
@@ -435,12 +445,22 @@ def _make_branches(plan: PipelinePlan, train: bool):
 
 
 def _make_pipeline_spmd(
-    plan: PipelinePlan, mesh: Mesh, axis: str, train: bool
+    plan: PipelinePlan, mesh: Mesh, axis: str, train: bool,
+    data_axis: Optional[str] = None,
 ):
     """The shard_map'd (M + S - 1)-tick schedule. Per-device inputs: this
-    stage's (1, P_max)/(1, Q_max) rows and the full replicated microbatch
-    stack; outputs: the per-stage descriptor buffer (only the last stage's
-    row is meaningful) and updated stats rows."""
+    stage's (1, P_max)/(1, Q_max) rows and the microbatch stack; outputs:
+    the per-stage descriptor buffer (only the last stage's row is
+    meaningful) and updated stats rows.
+
+    With ``data_axis`` (DPxPP over a 2-D ``(data, stage)`` mesh) the
+    microbatch rows shard over the data axis — each data slice runs the
+    same schedule on its rows, the stage stacks are replicated across
+    ``data`` (their cotangents psum over it in shard_map's transpose, which
+    is the gradient all-reduce), and BatchNorm follows the framework's
+    explicit-replica convention (parallel/ddp.py): statistics are computed
+    per (microbatch, data slice) and the final stats vectors average across
+    replicas once per step."""
     S = plan.num_stages
     branches = _make_branches(plan, train)
     wire = jnp.dtype(plan.cfg.compute_dtype)
@@ -497,24 +517,66 @@ def _make_pipeline_spmd(
         (act, svec, outbuf), _ = jax.lax.scan(
             tick, (act0, svec0, out0), jnp.arange(m + S - 1)
         )
+        if train and data_axis is not None:
+            # Cross-replica stat sync (the DDP convention): the EMA update
+            # is affine in the per-tick batch moments, so one pmean of the
+            # final vectors equals averaging the moments at every tick.
+            svec = jax.lax.pmean(svec, data_axis)
         return outbuf[None], svec[None]
 
+    if data_axis is None:
+        in_specs = (P(axis), P(axis), P())
+        out_specs = (P(axis), P(axis))
+    else:
+        in_specs = (P(axis), P(axis), P(None, data_axis))
+        out_specs = (P(axis, None, data_axis), P(axis))
     return jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
 
 
-def make_pp_mesh(num_stages: int, axis: str = "stage") -> Mesh:
-    devices = jax.devices()
-    if num_stages > len(devices):
+def _check_dp(
+    mesh: Mesh, data_axis: Optional[str], rows: int, what: str
+) -> None:
+    if data_axis is None:
+        return
+    if data_axis not in mesh.axis_names:
         raise ValueError(
-            f"need {num_stages} devices, have {len(devices)}"
+            f"data_axis={data_axis!r} not in mesh axes {mesh.axis_names}"
         )
-    return Mesh(np.asarray(devices[:num_stages]), (axis,))
+    d = int(mesh.shape[data_axis])
+    if rows % d:
+        raise ValueError(
+            f"{what}={rows} not divisible by the {d} pipeline replicas "
+            f"on mesh axis {data_axis!r}"
+        )
+
+
+def make_pp_mesh(
+    num_stages: int, axis: str = "stage",
+    data: int = 1, data_axis: str = "data",
+) -> Mesh:
+    """A ``('stage',)`` pipeline mesh, or — with ``data > 1`` — a 2-D
+    ``(data, stage)`` mesh whose rows are data-parallel pipeline replicas
+    (DPxPP). Stage-sharded stacks (``P(axis)``) replicate across ``data``
+    on either shape."""
+    devices = jax.devices()
+    need = num_stages * data
+    if need > len(devices):
+        raise ValueError(
+            f"need {need} devices ({data} data x {num_stages} stages), "
+            f"have {len(devices)}"
+        )
+    if data == 1:
+        return Mesh(np.asarray(devices[:num_stages]), (axis,))
+    return Mesh(
+        np.asarray(devices[:need]).reshape(data, num_stages),
+        (data_axis, axis),
+    )
 
 
 def place_stacks(
@@ -534,11 +596,17 @@ def make_pp_embed_fn(
     mesh: Mesh,
     microbatch_size: int,
     axis: str = "stage",
+    data_axis: Optional[str] = None,
 ) -> Callable[[jax.Array, jax.Array, jnp.ndarray], jnp.ndarray]:
     """Pipelined inference embed: ``(B, N, C) -> (B, output_dim)`` with B
     split into ``B / microbatch_size`` microbatches streaming through the
-    stages. Descriptors match the monolithic forward (same math, staged)."""
-    pipeline = _make_pipeline_spmd(plan, mesh, axis, train=False)
+    stages. Descriptors match the monolithic forward (same math, staged).
+    With ``data_axis`` (a 2-D DPxPP mesh) each microbatch's rows shard
+    over the pipeline replicas."""
+    _check_dp(mesh, data_axis, microbatch_size, "microbatch_size")
+    pipeline = _make_pipeline_spmd(
+        plan, mesh, axis, train=False, data_axis=data_axis
+    )
 
     @jax.jit
     def embed(pstack, sstack, points):
@@ -608,21 +676,30 @@ def make_pp_train_step(
     mesh: Mesh,
     microbatches: int,
     axis: str = "stage",
+    data_axis: Optional[str] = None,
     donate: bool = True,
 ):
     """Pipelined train step: the tuple batch flattens to ``B*(1+P+M+1)``
     submaps, streams through the stages as ``microbatches`` microbatches,
     and the quadruplet loss is computed over the collected descriptors;
-    one ``jax.grad`` differentiates the whole schedule."""
-    pipeline = _make_pipeline_spmd(plan, mesh, axis, train=True)
+    one ``jax.grad`` differentiates the whole schedule. With ``data_axis``
+    (DPxPP) the microbatch rows shard over the pipeline replicas; the loss
+    stays global (GSPMD computes it over the full descriptor batch), so
+    the semantics match the 1-D pipeline up to the per-replica BatchNorm
+    statistics documented on :func:`_make_pipeline_spmd`."""
+    pipeline = _make_pipeline_spmd(
+        plan, mesh, axis, train=True, data_axis=data_axis
+    )
+    ndata = int(mesh.shape[data_axis]) if data_axis is not None else 1
 
     def step(state: PPTrainState, batch):
         flat, p, m = _flatten_tuples(batch)
         bt, n, c = flat.shape
-        if bt % microbatches:
+        if bt % microbatches or (bt // microbatches) % ndata:
             raise ValueError(
                 f"flat tuple batch {bt} not divisible by "
                 f"microbatches={microbatches}"
+                + (f" x data replicas={ndata}" if ndata > 1 else "")
             )
         if c != plan.in_widths[0]:
             raise ValueError(
@@ -670,31 +747,52 @@ def make_pp_train_step(
 # ---------------------------------------------------------------------------
 
 
-def pick_microbatches(total: int, stages: int, requested: int = 0) -> int:
+def pick_microbatches(
+    total: int, stages: int, requested: int = 0, row_divisor: int = 1
+) -> int:
     """Number of microbatches for a ``total``-item batch on ``stages``
     stages: ``requested`` if given (must divide), else the smallest divisor
-    >= 2*stages (bubble fraction (S-1)/(m+S-1) <= ~1/3), else ``total``."""
+    >= 2*stages (bubble fraction (S-1)/(m+S-1) <= ~1/3), else ``total``.
+    ``row_divisor`` (DPxPP): each microbatch's rows must additionally split
+    over that many pipeline replicas."""
+
+    def fits(m):
+        return total % m == 0 and (total // m) % row_divisor == 0
+
     if requested:
-        if total % requested:
+        if not fits(requested):
             raise ValueError(
                 f"pipeline_microbatches={requested} does not divide the "
-                f"batch ({total})"
+                f"batch ({total}) into microbatches of a multiple of "
+                f"{row_divisor} rows"
             )
         return requested
     for m in range(min(2 * stages, total), total):
-        if total % m == 0:
+        if fits(m):
             return m
-    return total
+    if fits(total):
+        return total
+    # With a row divisor, a bubble-heavier count below 2*stages may be the
+    # only one whose microbatches still split over the replicas.
+    for m in range(min(2 * stages, total) - 1, 0, -1):
+        if fits(m):
+            return m
+    raise ValueError(
+        f"batch ({total}) cannot split into microbatches with rows "
+        f"divisible by {row_divisor} pipeline replicas"
+    )
 
 
 def make_pp_sweep_embed_fn(
-    plan: PipelinePlan, mesh: Mesh, batch_size: int, axis: str = "stage"
+    plan: PipelinePlan, mesh: Mesh, batch_size: int, axis: str = "stage",
+    data_axis: Optional[str] = None,
 ):
     """The sweeps' ``embed_fn(variables, points)`` surface over the
     pipeline: ``variables`` is the opaque dict the loop's ``model_vars``
     produces — for PP that is the live stage stacks."""
-    m = pick_microbatches(batch_size, plan.num_stages)
-    embed = make_pp_embed_fn(plan, mesh, batch_size // m, axis)
+    ndata = int(mesh.shape[data_axis]) if data_axis is not None else 1
+    m = pick_microbatches(batch_size, plan.num_stages, row_divisor=ndata)
+    embed = make_pp_embed_fn(plan, mesh, batch_size // m, axis, data_axis)
 
     def embed_vars(variables, points):
         return embed(variables["pstack"], variables["sstack"], points)

@@ -75,6 +75,7 @@ def train(
     # (the stage stacks convert losslessly), so PP runs save/restore
     # interchangeably with every other path.
     pp_mode = use_mesh and cfg.mesh.pipeline_stages > 1
+    pp_data = cfg.mesh.pipeline_data_replicas if pp_mode else 1
     if pp_mode:
         if nproc > 1:
             raise ValueError(
@@ -86,6 +87,12 @@ def train(
                 "pipeline_stages is exclusive with model_devices "
                 "(stage mesh vs (data, model) mesh)"
             )
+        if pp_data > 1:
+            # DPxPP: each pipeline replica carries batch_num_queries
+            # queries ('per_device' scaling — the only mode that keeps
+            # every replica busy at the reference tuple sizes).
+            if cfg.mesh.batch_scaling == "per_device":
+                global_batch = tc.batch_num_queries * pp_data
     # Tensor parallelism across processes: the model-sharded state is not
     # fully addressable on any host, so checkpoints flow through Orbax's
     # sharded save/restore (each process writes/reads its own shards)
@@ -157,26 +164,29 @@ def train(
             {"params": state.params, "batch_stats": state.batch_stats},
         )
         pp_mesh = pplib.make_pp_mesh(
-            cfg.mesh.pipeline_stages, cfg.mesh.pipeline_axis
+            cfg.mesh.pipeline_stages, cfg.mesh.pipeline_axis,
+            data=pp_data, data_axis=cfg.mesh.data_axis,
         )
+        pp_daxis = cfg.mesh.data_axis if pp_data > 1 else None
         flat_total = global_batch * (
             1 + tc.positives_per_query + tc.negatives_per_query + 1
         )
         micro = pplib.pick_microbatches(
             flat_total, cfg.mesh.pipeline_stages,
-            cfg.mesh.pipeline_microbatches,
+            cfg.mesh.pipeline_microbatches, row_divisor=pp_data,
         )
         logger.log(
             "pipeline", stages=cfg.mesh.pipeline_stages,
-            microbatches=micro, flat_batch=flat_total,
-            stage_params=pp_plan.param_sizes,
+            data_replicas=pp_data, microbatches=micro,
+            flat_batch=flat_total, stage_params=pp_plan.param_sizes,
         )
         train_step = pplib.make_pp_train_step(
-            pp_plan, tc.loss, pp_mesh, micro, axis=cfg.mesh.pipeline_axis
+            pp_plan, tc.loss, pp_mesh, micro, axis=cfg.mesh.pipeline_axis,
+            data_axis=pp_daxis,
         )
         embed_fn = pplib.make_pp_sweep_embed_fn(
             pp_plan, pp_mesh, cfg.eval.batch_size,
-            axis=cfg.mesh.pipeline_axis,
+            axis=cfg.mesh.pipeline_axis, data_axis=pp_daxis,
         )
         embed_many_fn = None  # scan-chunk sweep is a data-mesh option
     elif mp > 1:

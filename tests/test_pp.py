@@ -231,6 +231,150 @@ def test_pp_train_step_matches_microbatched_reference(bits, stages, micro):
     )
 
 
+@pytest.mark.parametrize("data,stages,micro", [(2, 2, 2), (2, 4, 1), (4, 2, 2)])
+def test_dp_pp_embed_matches_full_model(bits, data, stages, micro):
+    """DPxPP (2-D (data, stage) mesh): the staged forward with microbatch
+    rows sharded over pipeline replicas must still reproduce the monolithic
+    model exactly — eval mode uses running BN stats, so there is no
+    per-replica statistics caveat."""
+    cfg, model, variables, pts = bits
+    ref = model.apply(variables, pts, train=False)
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages, data=data)
+    assert mesh.axis_names == ("data", "stage")
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(
+        plan, mesh, microbatch_size=pts.shape[0] // micro, data_axis="data"
+    )
+    out = embed(pstack, sstack, pts)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def _dp_microbatched_reference(model, params, batch_stats, inputs, ndata,
+                               loss_cfg, b, t):
+    """Per-replica sequential reference for DPxPP: each data slice runs the
+    microbatch-sequential forward on ITS rows with its own carried BN
+    state (per-replica statistics), the loss is computed once over the
+    globally reassembled descriptors, and the final BN states average
+    across replicas."""
+    m, bm = inputs.shape[:2]
+    rows = bm // ndata
+
+    def loss_fn(params):
+        descs = [[None] * ndata for _ in range(m)]
+        finals = []
+        for d in range(ndata):
+            bs = batch_stats
+            for i in range(m):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": bs},
+                    inputs[i, d * rows:(d + 1) * rows],
+                    train=True, mutable=["batch_stats"],
+                )
+                bs = mut["batch_stats"]
+                descs[i][d] = out
+            finals.append(bs)
+        desc = jnp.concatenate(
+            [jnp.concatenate(row, axis=0) for row in descs], axis=0
+        ).reshape(b, t, -1)
+        p, mneg = 2, 4
+        loss = loss_from_config(
+            loss_cfg, desc[:, 0], desc[:, 1:1 + p],
+            desc[:, 1 + p:1 + p + mneg], desc[:, -1],
+        )
+        mean_stats = jax.tree_util.tree_map(
+            lambda *xs: sum(xs) / len(xs), *finals
+        )
+        return loss, mean_stats
+
+    return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+
+@pytest.mark.slow
+def test_dp_pp_train_step_matches_reference(bits):
+    """DPxPP train step vs the per-replica sequential reference: loss,
+    gradients (psum'd over the data axis by shard_map's transpose), and
+    the cross-replica-averaged BN statistics must all match."""
+    cfg, model, variables, _ = bits
+    data, stages, micro = 2, 2, 2
+    loss_cfg = LossConfig(lazy=True, ignore_zero_loss=False)
+    train_cfg = TrainConfig(
+        batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3, loss=loss_cfg,
+    )
+    batch = _tuple_batch(b=2)
+    flat, p, m = _flatten_tuples(
+        jax.tree_util.tree_map(jnp.asarray, batch)
+    )
+    b, t = 2, 1 + p + m + 1
+    inputs = flat.reshape(micro, flat.shape[0] // micro, N, 3)
+
+    (ref_loss, ref_stats), ref_grads = _dp_microbatched_reference(
+        model, variables["params"], variables["batch_stats"], inputs,
+        data, loss_cfg, b, t,
+    )
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages, data=data)
+    state = create_pp_train_state(plan, mesh, variables, train_cfg)
+    step = make_pp_train_step(
+        plan, loss_cfg, mesh, microbatches=micro, data_axis="data",
+        donate=False,
+    )
+    new_state, loss = step(state, batch)
+
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+    mu = new_state.opt_state[0].mu
+    grad_vars = stacks_to_variables(
+        plan, mu / (1.0 - 0.9), jnp.zeros_like(new_state.sstack)
+    )
+    flat_ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    }
+    flat_pp = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(
+            grad_vars["params"]
+        )[0]
+    }
+    assert set(flat_ref) == set(flat_pp)
+    for k in flat_ref:
+        # Same two noise sources as the 1-D PP gradient check above.
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
+            atol=5e-4, rtol=1e-2, err_msg=k,
+        )
+
+    pp_stats = stacks_to_variables(
+        plan, new_state.pstack, new_state.sstack
+    )["batch_stats"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        ref_stats, pp_stats,
+    )
+
+
+def test_pick_microbatches_row_divisor():
+    from lpdnet_tpu.parallel.pp import pick_microbatches
+
+    # 24 rows, 2 stages, rows must split over 4 replicas: m=4 -> bm=6 no;
+    # the smallest fitting divisor >= 4 with bm % 4 == 0 is m=6 (bm=4).
+    assert pick_microbatches(24, 2, row_divisor=4) == 6
+    # Below-2*stages fallback: only m=2 (bm=4) splits over 4 replicas.
+    assert pick_microbatches(8, 2, row_divisor=4) == 2
+    with pytest.raises(ValueError, match="multiple of 4 rows"):
+        pick_microbatches(24, 2, requested=4, row_divisor=4)
+    with pytest.raises(ValueError, match="cannot split"):
+        pick_microbatches(6, 2, row_divisor=4)
+
+
 @pytest.mark.slow
 def test_pp_train_step_learns(bits):
     cfg, model, variables, _ = bits

@@ -121,6 +121,32 @@ def test_pp_checkpoint_cross_topology(tmp_path, ds):
         assert np.isfinite(leaf).all()
 
 
+@pytest.mark.slow
+def test_dp_pp_loop_trains_and_resumes_exactly(tmp_path, ds):
+    """DPxPP through the full loop (2 replicas x 2 stages on the virtual
+    fleet): per-device batch scaling doubles the global batch, the sweeps
+    run over the 2-D mesh, and stop/resume reproduces the uninterrupted
+    run exactly (same standard checkpoint payload)."""
+
+    def cfg(d, **kw):
+        c = make_cfg(tmp_path / d, **kw)
+        return dataclasses.replace(
+            c, mesh=dataclasses.replace(c.mesh, pipeline_data_replicas=2)
+        )
+
+    out_a = train(cfg("a"), resources(ds))
+    state_a = out_a["state"]
+    assert int(state_a.step) > 0
+    for leaf in leaves(state_a):
+        assert np.isfinite(leaf).all()
+
+    train(cfg("b", max_epoch=1), resources(ds))
+    out_b = train(cfg("b", max_epoch=2, resume=True), resources(ds))
+    assert int(out_b["state"].step) == int(state_a.step)
+    for a, b in zip(leaves(state_a), leaves(out_b["state"])):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+
 def test_pp_mode_rejects_model_devices(tmp_path, ds):
     cfg = make_cfg(tmp_path / "x")
     cfg = dataclasses.replace(

@@ -64,6 +64,10 @@ def parse_args():
     p.add_argument("--pp_microbatches", type=int, default=None,
                    help="microbatch count for the pipelined step "
                         "(default: auto)")
+    p.add_argument("--pp_data", type=int, default=None,
+                   help="DPxPP: data-parallel pipeline replicas over a 2-D "
+                        "(data, stage) mesh (needs pp_stages x pp_data "
+                        "devices)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                    help="activation/matmul compute dtype")
@@ -139,6 +143,8 @@ def main():
         over["mesh.pipeline_stages"] = args.pp_stages
     if args.pp_microbatches is not None:
         over["mesh.pipeline_microbatches"] = args.pp_microbatches
+    if args.pp_data is not None:
+        over["mesh.pipeline_data_replicas"] = args.pp_data
     if args.dtype: over["model.compute_dtype"] = args.dtype
     from lpdnet_tpu.configs import parse_override_value
 
