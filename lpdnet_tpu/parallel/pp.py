@@ -579,6 +579,20 @@ def make_pp_mesh(
     )
 
 
+def _put_named(arr, sh: NamedSharding):
+    """Place a host value under a NamedSharding, multi-process-safe: every
+    process holds the same host value (deterministic init / restored
+    standard payload) and assembles the global array from its addressable
+    shards — ``jax.device_put`` to a sharding containing other processes'
+    devices is not allowed (same pattern as tp.shard_state)."""
+    if jax.process_count() > 1:
+        host = np.asarray(arr)
+        return jax.make_array_from_callback(
+            host.shape, sh, lambda idx: host[idx]
+        )
+    return jax.device_put(arr, sh)
+
+
 def place_stacks(
     plan: PipelinePlan,
     mesh: Mesh,
@@ -588,7 +602,7 @@ def place_stacks(
     """Stage-shard the stacks over the mesh (row s on stage-device s)."""
     pstack, sstack = variables_to_stacks(plan, variables)
     sh = NamedSharding(mesh, P(axis))
-    return jax.device_put(pstack, sh), jax.device_put(sstack, sh)
+    return _put_named(pstack, sh), _put_named(sstack, sh)
 
 
 def make_pp_embed_fn(
@@ -701,6 +715,15 @@ def make_pp_train_step(
                 f"microbatches={microbatches}"
                 + (f" x data replicas={ndata}" if ndata > 1 else "")
             )
+        if (bt // microbatches) // ndata < 2:
+            raise ValueError(
+                f"train microbatches of {(bt // microbatches) // ndata} "
+                "submap per replica: a train-mode forward over a single "
+                "submap zeroes every batch-axis BatchNorm (the NetVLAD "
+                "hidden/gating BNs normalize over the batch dimension), "
+                "silently collapsing all descriptors — use fewer "
+                "microbatches or a larger batch"
+            )
         if c != plan.in_widths[0]:
             raise ValueError(
                 f"pipeline plan expects {plan.in_widths[0]}-channel inputs "
@@ -748,23 +771,32 @@ def make_pp_train_step(
 
 
 def pick_microbatches(
-    total: int, stages: int, requested: int = 0, row_divisor: int = 1
+    total: int, stages: int, requested: int = 0, row_divisor: int = 1,
+    min_rows: int = 1,
 ) -> int:
     """Number of microbatches for a ``total``-item batch on ``stages``
     stages: ``requested`` if given (must divide), else the smallest divisor
     >= 2*stages (bubble fraction (S-1)/(m+S-1) <= ~1/3), else ``total``.
     ``row_divisor`` (DPxPP): each microbatch's rows must additionally split
-    over that many pipeline replicas."""
+    over that many pipeline replicas. ``min_rows``: minimum rows per
+    replica per microbatch — the TRAIN pick uses 2, because a train-mode
+    forward over a single submap zeroes every batch-axis BatchNorm
+    (``x - mean(x)`` over one row: the NetVLAD hidden/gating BNs), which
+    silently collapses all descriptors to 0."""
 
     def fits(m):
-        return total % m == 0 and (total // m) % row_divisor == 0
+        return (
+            total % m == 0
+            and (total // m) % row_divisor == 0
+            and (total // m) // row_divisor >= min_rows
+        )
 
     if requested:
         if not fits(requested):
             raise ValueError(
                 f"pipeline_microbatches={requested} does not divide the "
                 f"batch ({total}) into microbatches of a multiple of "
-                f"{row_divisor} rows"
+                f"{row_divisor} rows with >= {min_rows} rows per replica"
             )
         return requested
     for m in range(min(2 * stages, total), total):
@@ -772,14 +804,15 @@ def pick_microbatches(
             return m
     if fits(total):
         return total
-    # With a row divisor, a bubble-heavier count below 2*stages may be the
-    # only one whose microbatches still split over the replicas.
+    # With a row divisor / minimum, a bubble-heavier count below 2*stages
+    # may be the only one whose microbatches still fit.
     for m in range(min(2 * stages, total) - 1, 0, -1):
         if fits(m):
             return m
     raise ValueError(
         f"batch ({total}) cannot split into microbatches with rows "
         f"divisible by {row_divisor} pipeline replicas"
+        + (f" and >= {min_rows} rows per replica" if min_rows > 1 else "")
     )
 
 
@@ -865,7 +898,7 @@ def pp_from_train_state(
         stack, _ = variables_to_stacks(
             plan, {"params": tree, "batch_stats": zero_stats}
         )
-        return jax.device_put(stack, sh)
+        return _put_named(stack, sh)
 
     opt_state = _walk_param_containers(state.opt_state, stack_params)
     # Scalar leaves (Adam/schedule counts, step) must be committed to the
@@ -878,11 +911,11 @@ def pp_from_train_state(
         arr = jnp.asarray(leaf)
         if arr.shape == stack_shape:
             return leaf  # already placed by stack_params
-        return jax.device_put(arr, rep)
+        return _put_named(arr, rep)
 
     opt_state = jax.tree_util.tree_map(place_scalar, opt_state)
     return PPTrainState(
-        step=jax.device_put(jnp.asarray(state.step, jnp.int32), rep),
+        step=_put_named(jnp.asarray(state.step, jnp.int32), rep),
         pstack=pstack,
         sstack=sstack,
         opt_state=opt_state,

@@ -77,16 +77,27 @@ def train(
     pp_mode = use_mesh and cfg.mesh.pipeline_stages > 1
     pp_data = cfg.mesh.pipeline_data_replicas if pp_mode else 1
     if pp_mode:
-        if nproc > 1:
-            raise ValueError(
-                "pipeline_stages > 1 is single-process (the stage mesh "
-                "spans local devices); drop --distributed/--num_processes"
-            )
         if mp > 1:
             raise ValueError(
                 "pipeline_stages is exclusive with model_devices "
                 "(stage mesh vs (data, model) mesh)"
             )
+        if nproc > 1:
+            # Multi-process DPxPP (one process per host on real pods):
+            # the (data, stage) mesh must cover every process's devices —
+            # a process owning no mesh devices cannot join the collective
+            # program. Batches and sweep inputs feed replicated (every
+            # process assembles the identical host batch; numpy operands
+            # of the global jit are implicitly replicated), and
+            # checkpoints go through a host gather of the stage stacks.
+            total = len(jax.devices())
+            if cfg.mesh.pipeline_stages * pp_data != total:
+                raise ValueError(
+                    f"multi-process DPxPP must use all {total} devices: "
+                    f"pipeline_stages ({cfg.mesh.pipeline_stages}) x "
+                    f"pipeline_data_replicas ({pp_data}) != {total}; "
+                    "set --pp_data accordingly"
+                )
         if pp_data > 1:
             # DPxPP: each pipeline replica carries batch_num_queries
             # queries ('per_device' scaling — the only mode that keeps
@@ -174,6 +185,7 @@ def train(
         micro = pplib.pick_microbatches(
             flat_total, cfg.mesh.pipeline_stages,
             cfg.mesh.pipeline_microbatches, row_divisor=pp_data,
+            min_rows=2,  # 1-row train microbatches zero batch-axis BNs
         )
         logger.log(
             "pipeline", stages=cfg.mesh.pipeline_stages,
@@ -227,7 +239,10 @@ def train(
     # uploads only its own rows of every padded batch; the wrapper builds
     # the global array for the unchanged collective embed program.
     sweep_fn, sweep_rows = embed_fn, None
-    if nproc > 1:
+    if nproc > 1 and mesh is not None:
+        # (PP runs have no data/model mesh: their sweeps feed the FULL
+        # padded batch on every process — numpy operands of the global
+        # pipelined embed are implicitly replicated.)
         from lpdnet_tpu.parallel.multiprocess import (
             make_mp_sweep_embed_fn, sweep_local_rows,
         )
@@ -321,8 +336,24 @@ def train(
         # donation into the next step is safe); otherwise the host copy.
         # PP converts the stage stacks back to the standard payload.
         if pp_mode:
+            pp_state = state
+            if nproc > 1:
+                # Stage-sharded leaves are not fully addressable across
+                # processes; all-gather them to replicated first (every
+                # process then unstacks the identical host payload).
+                from lpdnet_tpu.parallel.tp import gather_tree
+
+                host = gather_tree(
+                    {
+                        "step": state.step, "pstack": state.pstack,
+                        "sstack": state.sstack,
+                        "opt_state": state.opt_state,
+                    },
+                    pp_mesh,
+                )
+                pp_state = state.replace(**host)
             return jax.device_get(
-                pplib.pp_to_train_state(pp_plan, state, pp_template)
+                pplib.pp_to_train_state(pp_plan, pp_state, pp_template)
             )
         return state if sharded_ckpt else jax.device_get(state)
 

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def tiny_config(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
                 resume: bool = False, lr: float = 1e-3,
-                checkpoint_every_steps: int = 0):
+                checkpoint_every_steps: int = 0,
+                pp_stages: int = 0, pp_data: int = 1):
     from lpdnet_tpu.configs import (
         Config, DataConfig, EvalConfig, FeatureConfig, MeshConfig,
         MiningConfig, ModelConfig, TrainConfig,
@@ -46,7 +47,11 @@ def tiny_config(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
             ),
         ),
         eval=EvalConfig(batch_size=8, top_k=5),
-        mesh=MeshConfig(model_devices=model_devices),
+        mesh=MeshConfig(
+            model_devices=model_devices,
+            pipeline_stages=pp_stages,
+            pipeline_data_replicas=pp_data,
+        ),
     )
 
 
@@ -85,7 +90,8 @@ def make_killing_sampler_cls():
 
 def run(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
         resume: bool = False, lr: float = 1e-3,
-        checkpoint_every_steps: int = 0, kill_after: int = 0):
+        checkpoint_every_steps: int = 0, kill_after: int = 0,
+        pp_stages: int = 0, pp_data: int = 1):
     """Train the tiny synthetic workload; returns the loop's result dict.
     Identical on every topology that presents the same 8-device mesh."""
     import numpy as np  # noqa: F401
@@ -95,7 +101,7 @@ def run(log_dir: str, model_devices: int = 1, max_epoch: int = 2,
     from lpdnet_tpu.train.loop import TrainResources, train
 
     cfg = tiny_config(log_dir, model_devices, max_epoch, resume, lr,
-                      checkpoint_every_steps)
+                      checkpoint_every_steps, pp_stages, pp_data)
     ds = make_synthetic_dataset(
         num_places=6, submaps_per_place=4,
         num_points=cfg.model.num_points, seed=cfg.train.seed,
@@ -134,6 +140,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--checkpoint_every_steps", type=int, default=0)
     ap.add_argument("--kill_after", type=int, default=0)
+    ap.add_argument("--pp_stages", type=int, default=0)
+    ap.add_argument("--pp_data", type=int, default=1)
     args = ap.parse_args()
 
     # CPU fleet arrangement must precede backend init (tests/conftest.py
@@ -160,7 +168,8 @@ def main():
     assert len(jax.devices()) == args.num_processes * args.local_devices
     try:
         run(args.log_dir, args.model_devices, args.max_epoch, args.resume,
-            args.lr, args.checkpoint_every_steps, args.kill_after)
+            args.lr, args.checkpoint_every_steps, args.kill_after,
+            args.pp_stages, args.pp_data)
     except RuntimeError as e:
         if not (args.kill_after and "simulated crash" in str(e)):
             raise

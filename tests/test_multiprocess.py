@@ -234,6 +234,67 @@ def test_two_process_tp_sharded_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_dp_pp_cluster(tmp_path):
+    """Pipeline parallelism ACROSS processes (DPxPP: each process's 4
+    devices form one pipeline replica's stages, data replicas across the
+    process boundary): (a) the 2-process cluster reproduces the
+    single-process 8-device (2 data x 4 stage) control — measured
+    bit-exact here (the PP collectives are ppermute hops + one small
+    psum, which reduce identically across builds, unlike the DP
+    all-reduce above); (b) a cluster stopped after epoch 0 resumes
+    through the STANDARD checkpoint payload (host-gathered stage stacks)
+    to exactly the uninterrupted cluster's epoch-1 loss; (c) process-0
+    owns all side effects."""
+    mp_dir = str(tmp_path / "mp")
+    sp_dir = str(tmp_path / "sp")
+    res_dir = str(tmp_path / "res")
+
+    _launch_cluster(mp_dir, "--pp_stages", "4", "--pp_data", "2")
+
+    from tests.mp_worker import run
+
+    run(sp_dir, pp_stages=4, pp_data=2)
+
+    mp_epochs = _read_events(mp_dir, "epoch")
+    sp_epochs = _read_events(sp_dir, "epoch")
+    assert len(mp_epochs) == len(sp_epochs) == 2
+    for m, s in zip(mp_epochs, sp_epochs):
+        assert m["steps"] == s["steps"]
+        assert m["loss"] == pytest.approx(s["loss"], rel=1e-6), (
+            m["loss"], s["loss"],
+        )
+    mp_eval = _read_events(mp_dir, "eval")
+    sp_eval = _read_events(sp_dir, "eval")
+    assert len(mp_eval) == len(sp_eval) == 1
+    assert abs(
+        mp_eval[0]["one_percent_recall"] - sp_eval[0]["one_percent_recall"]
+    ) < 1e-6
+
+    # The pipeline really ran 2 replicas x 4 stages.
+    pipes = _read_events(mp_dir, "pipeline")
+    assert pipes and pipes[0]["stages"] == 4
+    assert pipes[0]["data_replicas"] == 2
+
+    # Primary-only side effects.
+    assert os.path.isdir(os.path.join(mp_dir, "checkpoints"))
+    assert os.path.isfile(os.path.join(mp_dir, "results.txt"))
+
+    # Stop-after-epoch-0 cluster resumes exactly (standard payload).
+    _launch_cluster(
+        res_dir, "--pp_stages", "4", "--pp_data", "2", "--max_epoch", "1"
+    )
+    _launch_cluster(
+        res_dir, "--pp_stages", "4", "--pp_data", "2", "--max_epoch", "2",
+        "--resume",
+    )
+    res_epochs = _read_events(res_dir, "epoch")
+    assert [r["epoch"] for r in res_epochs] == [0, 1]
+    assert res_epochs[1]["loss"] == pytest.approx(
+        mp_epochs[1]["loss"], rel=1e-6
+    )
+
+
+@pytest.mark.slow
 def test_two_process_mid_epoch_kill_and_resume(tmp_path):
     """Failure recovery on the CLUSTER (SURVEY §5 failure-detection row,
     previously proven single-process only): a 2-process run whose workers

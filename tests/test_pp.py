@@ -373,6 +373,28 @@ def test_pick_microbatches_row_divisor():
         pick_microbatches(24, 2, requested=4, row_divisor=4)
     with pytest.raises(ValueError, match="cannot split"):
         pick_microbatches(6, 2, row_divisor=4)
+    # min_rows=2 (the train pick): 1-row-per-replica microbatches zero
+    # batch-axis BNs, so m=8 (bm=2, 1 row/replica) must be rejected in
+    # favor of m=4 (bm=4, 2 rows/replica).
+    assert pick_microbatches(16, 4, row_divisor=2, min_rows=2) == 4
+    with pytest.raises(ValueError, match="rows per replica"):
+        pick_microbatches(16, 4, requested=8, row_divisor=2, min_rows=2)
+
+
+def test_pp_train_step_rejects_single_row_microbatches(bits):
+    """A train-mode forward over one submap zeroes every batch-axis BN
+    (verified on the monolithic model), silently collapsing descriptors —
+    the step must fail loud instead."""
+    cfg, model, variables, _ = bits
+    plan = build_plan(cfg, 2, variables)
+    mesh = make_pp_mesh(2, data=2)
+    state = create_pp_train_state(plan, mesh, variables, TrainConfig())
+    step = make_pp_train_step(
+        plan, LossConfig(), mesh, microbatches=8, data_axis="data",
+        donate=False,
+    )
+    with pytest.raises(ValueError, match="single\\s+submap"):
+        step(state, _tuple_batch(b=2))
 
 
 @pytest.mark.slow
