@@ -33,6 +33,12 @@ effects and f32 sum order; the parity test pins cosine > 0.999.
 
 Inference-only by design: this is the serving-latency path (training wants
 batch/tensor parallelism — ``train/step.py`` / ``parallel/tp.py``).
+
+DPxSP: ``make_sp_mesh(points, data=D)`` builds a 2-D ``(data, points)``
+mesh of D point-parallel groups; the batch shards over ``data`` while each
+group SP-shards its rows' point axis (the NetVLAD psum stays inside the
+group). The latency/throughput dial for batched serving: D=1 is pure SP
+(lowest latency), D=ndev is pure DP (highest throughput).
 """
 
 from __future__ import annotations
@@ -89,19 +95,46 @@ def _head_tail(
     return out
 
 
+def make_sp_mesh(
+    points: int, data: int = 1,
+    axis: str = "points", data_axis: str = "data",
+) -> Mesh:
+    """A 1-D ``('points',)`` SP mesh, or — with ``data > 1`` — a 2-D
+    ``(data, points)`` mesh of ``data`` point-parallel groups (DPxSP):
+    each group SP-shards its slice of the batch, trading some of SP's
+    latency win for batch throughput."""
+    devices = jax.devices()
+    need = points * data
+    if need > len(devices):
+        raise ValueError(
+            f"need {need} devices ({data} data x {points} points), "
+            f"have {len(devices)}"
+        )
+    if data == 1:
+        return Mesh(np.asarray(devices[:points]), (axis,))
+    return Mesh(
+        np.asarray(devices[:need]).reshape(data, points),
+        (data_axis, axis),
+    )
+
+
 def make_sp_embed_fn(
     cfg: ModelConfig,
     mesh: Mesh,
     variables: Dict[str, Any],
     axis: str = "points",
+    data_axis: str = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Point-parallel descriptor extraction ``(B, N, 3) -> (B, output_dim)``.
 
-    The mesh must be 1-D over ``axis``; N must divide by the mesh size and
+    The mesh is 1-D over ``axis``; N must divide by the mesh size and
     the per-device block must be a multiple of 8. ``variables`` is the
     ordinary trained model tree (params + batch_stats) — the SAME
-    parameters drive the sharded forward.
-    """
+    parameters drive the sharded forward. With ``data_axis`` (a 2-D
+    DPxSP mesh from :func:`make_sp_mesh`) the batch additionally shards
+    over ``data`` point-parallel groups — the NetVLAD psum stays within
+    each group (the ``axis`` collective only), so groups never
+    synchronize with each other."""
     if cfg.trunk != "lpdnet" or not cfg.compute_features_on_device:
         raise ValueError(
             "sp embed supports the flagship on-device-features LPD path"
@@ -182,11 +215,25 @@ def make_sp_embed_fn(
             )
         return desc[None]  # (1, B, D); all devices hold the same descriptor
 
+    if data_axis is None:
+        in_specs = (P(axis), P(axis))
+        out_specs = P(axis)
+    else:
+        if data_axis not in mesh.axis_names:
+            raise ValueError(
+                f"data_axis={data_axis!r} not in mesh axes "
+                f"{mesh.axis_names}"
+            )
+        # wins: (ndev, B, win, 3) — point windows over ``axis``, batch
+        # rows over ``data``; offs replicate across data groups.
+        in_specs = (P(axis, data_axis), P(axis))
+        out_specs = P(axis, data_axis)
+    ndata = int(mesh.shape[data_axis]) if data_axis is not None else 1
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -195,6 +242,11 @@ def make_sp_embed_fn(
             raise ValueError(
                 f"expected (B, {n}, 3) clouds (cfg.num_points), got "
                 f"{points.shape}"
+            )
+        if points.shape[0] % ndata:
+            raise ValueError(
+                f"batch {points.shape[0]} not divisible by the {ndata} "
+                f"point-parallel groups on mesh axis {data_axis!r}"
             )
         return _embed(points)
 

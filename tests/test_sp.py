@@ -74,6 +74,41 @@ def test_sp_embed_rejects_wrong_point_count(rng):
         fn(jnp.zeros((1, 2 * N, 3)))  # silently truncating this is a bug
 
 
+@pytest.mark.parametrize("data,points", [(2, 4), (4, 2)])
+def test_dp_sp_embed_matches_single_device(rng, data, points):
+    """DPxSP (2-D (data, points) mesh): the batch shards over D
+    point-parallel groups, each SP-sharding its rows — every descriptor
+    must still match the single-device Morton-window model. Geometry note:
+    the per-device block is N/points, so knn_window is matched per
+    parametrization to keep candidate windows comparable."""
+    from lpdnet_tpu.parallel.sp import make_sp_mesh
+
+    cfg = make_cfg(knn_window=N // points // 2,
+                   features=FeatureConfig(k=6, knn_block=N // points))
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    mesh = make_sp_mesh(points, data=data)
+    assert mesh.axis_names == ("data", "points")
+    pts = clustered(rng, 4)
+
+    single = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pts)
+    )
+    sp = np.asarray(
+        make_sp_embed_fn(cfg, mesh, variables, data_axis="data")(pts)
+    )
+    assert sp.shape == single.shape == (4, 32)
+    cos = np.sum(single * sp, -1) / (
+        np.linalg.norm(single, axis=-1) * np.linalg.norm(sp, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+    # Batch not divisible by the data groups -> loud error.
+    with pytest.raises(ValueError, match="point-parallel groups"):
+        make_sp_embed_fn(cfg, mesh, variables, data_axis="data")(
+            pts[:3] if data == 2 else pts[:2]
+        )
+
+
 @pytest.mark.slow
 def test_sp_embed_matches_single_device_flagship_scale(rng):
     """Flagship shape (4096 pts, 1024-D trunk, 64 clusters, window 256) on
