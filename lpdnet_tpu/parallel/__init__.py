@@ -38,7 +38,7 @@ from lpdnet_tpu.parallel.tp import (
     shard_state,
     partition_specs,
 )
-from lpdnet_tpu.parallel.sp import make_sp_embed_fn
+from lpdnet_tpu.parallel.sp import make_sp_embed_fn, make_sp_mesh
 from lpdnet_tpu.parallel.pp import (
     build_plan,
     create_pp_train_state,
@@ -72,6 +72,7 @@ __all__ = [
     "shard_state",
     "partition_specs",
     "make_sp_embed_fn",
+    "make_sp_mesh",
     "build_plan",
     "create_pp_train_state",
     "make_pp_embed_fn",

@@ -539,16 +539,22 @@ def _make_pipeline_spmd(
     )
 
 
-def _check_dp(
-    mesh: Mesh, data_axis: Optional[str], rows: int, what: str
-) -> None:
+def _data_size(mesh: Mesh, data_axis: Optional[str]) -> int:
+    """Pipeline-replica count on ``data_axis`` (1 when None), with a
+    friendly error instead of a bare KeyError for a mesh without it."""
     if data_axis is None:
-        return
+        return 1
     if data_axis not in mesh.axis_names:
         raise ValueError(
             f"data_axis={data_axis!r} not in mesh axes {mesh.axis_names}"
         )
-    d = int(mesh.shape[data_axis])
+    return int(mesh.shape[data_axis])
+
+
+def _check_dp(
+    mesh: Mesh, data_axis: Optional[str], rows: int, what: str
+) -> None:
+    d = _data_size(mesh, data_axis)
     if rows % d:
         raise ValueError(
             f"{what}={rows} not divisible by the {d} pipeline replicas "
@@ -573,10 +579,9 @@ def make_pp_mesh(
         )
     if data == 1:
         return Mesh(np.asarray(devices[:num_stages]), (axis,))
-    return Mesh(
-        np.asarray(devices[:need]).reshape(data, num_stages),
-        (data_axis, axis),
-    )
+    from lpdnet_tpu.parallel.tp import make_mesh_2d
+
+    return make_mesh_2d(data, num_stages, (data_axis, axis))
 
 
 def _put_named(arr, sh: NamedSharding):
@@ -701,10 +706,10 @@ def make_pp_train_step(
     stays global (GSPMD computes it over the full descriptor batch), so
     the semantics match the 1-D pipeline up to the per-replica BatchNorm
     statistics documented on :func:`_make_pipeline_spmd`."""
+    ndata = _data_size(mesh, data_axis)
     pipeline = _make_pipeline_spmd(
         plan, mesh, axis, train=True, data_axis=data_axis
     )
-    ndata = int(mesh.shape[data_axis]) if data_axis is not None else 1
 
     def step(state: PPTrainState, batch):
         flat, p, m = _flatten_tuples(batch)
@@ -823,7 +828,7 @@ def make_pp_sweep_embed_fn(
     """The sweeps' ``embed_fn(variables, points)`` surface over the
     pipeline: ``variables`` is the opaque dict the loop's ``model_vars``
     produces — for PP that is the live stage stacks."""
-    ndata = int(mesh.shape[data_axis]) if data_axis is not None else 1
+    ndata = _data_size(mesh, data_axis)
     m = pick_microbatches(batch_size, plan.num_stages, row_divisor=ndata)
     embed = make_pp_embed_fn(plan, mesh, batch_size // m, axis, data_axis)
 

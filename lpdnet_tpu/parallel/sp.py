@@ -43,7 +43,7 @@ group). The latency/throughput dial for batched serving: D=1 is pure SP
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -102,20 +102,19 @@ def make_sp_mesh(
     """A 1-D ``('points',)`` SP mesh, or — with ``data > 1`` — a 2-D
     ``(data, points)`` mesh of ``data`` point-parallel groups (DPxSP):
     each group SP-shards its slice of the batch, trading some of SP's
-    latency win for batch throughput."""
-    devices = jax.devices()
-    need = points * data
-    if need > len(devices):
-        raise ValueError(
-            f"need {need} devices ({data} data x {points} points), "
-            f"have {len(devices)}"
-        )
+    latency win for batch throughput. (The 2-D case is tp.make_mesh_2d
+    with the point axis in the ICI-adjacent position, where the NetVLAD
+    psum belongs.)"""
     if data == 1:
+        devices = jax.devices()
+        if points > len(devices):
+            raise ValueError(
+                f"need {points} devices, have {len(devices)}"
+            )
         return Mesh(np.asarray(devices[:points]), (axis,))
-    return Mesh(
-        np.asarray(devices[:need]).reshape(data, points),
-        (data_axis, axis),
-    )
+    from lpdnet_tpu.parallel.tp import make_mesh_2d
+
+    return make_mesh_2d(data, points, (data_axis, axis))
 
 
 def make_sp_embed_fn(
@@ -123,7 +122,7 @@ def make_sp_embed_fn(
     mesh: Mesh,
     variables: Dict[str, Any],
     axis: str = "points",
-    data_axis: str = None,
+    data_axis: Optional[str] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Point-parallel descriptor extraction ``(B, N, 3) -> (B, output_dim)``.
 

@@ -76,6 +76,12 @@ def train(
     # interchangeably with every other path.
     pp_mode = use_mesh and cfg.mesh.pipeline_stages > 1
     pp_data = cfg.mesh.pipeline_data_replicas if pp_mode else 1
+    if cfg.mesh.pipeline_data_replicas > 1 and not pp_mode:
+        raise ValueError(
+            "pipeline_data_replicas > 1 requires pipeline_stages > 1 "
+            "(DPxPP replicates pipelines; without stages use the plain "
+            "data-parallel mesh, which already scales the batch per device)"
+        )
     if pp_mode:
         if mp > 1:
             raise ValueError(
@@ -516,9 +522,9 @@ def train(
 
         final_state = gather_tree(state, mesh)
     elif pp_mode:
-        final_state = jax.device_get(
-            pplib.pp_to_train_state(pp_plan, state, pp_template)
-        )
+        # Same conversion (incl. the multi-process host gather) as the
+        # checkpoint path — one code path for sharded-stacks -> host.
+        final_state = state_for_save()
     else:
         final_state = jax.device_get(state)
     return {"state": final_state, "eval": results, "model": model}

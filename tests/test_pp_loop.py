@@ -154,3 +154,14 @@ def test_pp_mode_rejects_model_devices(tmp_path, ds):
     )
     with pytest.raises(ValueError, match="exclusive"):
         train(cfg, resources(ds))
+
+
+def test_pp_data_without_stages_rejected(tmp_path, ds):
+    """--pp_data without --pp_stages must fail loud, not silently train
+    on the plain mesh with a quarter of the intended scaling."""
+    cfg = make_cfg(tmp_path / "y", pp_stages=0)
+    cfg = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, pipeline_data_replicas=4)
+    )
+    with pytest.raises(ValueError, match="pipeline_stages"):
+        train(cfg, resources(ds))
