@@ -36,10 +36,13 @@ Checkpoint compatibility
   save/restore through the same payload structure as every other path, and
   any existing checkpoint can be re-partitioned onto a pipeline at load.
 
-Scope: the LPD trunk (the flagship). The pipeline cut points are the trunk's
-natural unit boundaries (SURVEY C11/C12): [feature stage + pre-MLP +
-spatial EdgeConv] -> [feature-graph EdgeConv] -> [post-MLP] -> [NetVLAD
-head]; ``num_stages`` in 1..4 groups contiguous units evenly. At flagship
+Scope: both model families. For the LPD trunk (the flagship) the pipeline
+cut points are the trunk's natural unit boundaries (SURVEY C11/C12):
+[feature stage + pre-MLP + spatial EdgeConv] -> [feature-graph EdgeConv]
+-> [post-MLP] -> [NetVLAD head]; ``num_stages`` in 1..4 groups contiguous
+units evenly. For the PointNetVLAD baseline trunk (SURVEY C10) the units
+are [STN + mlp1] -> [feature transform + mlp2] -> [NetVLAD head]
+(``num_stages`` in 1..3). At flagship
 scale PP is a latency/memory trade (the model fits one chip comfortably) —
 this is the framework capability, validated on the virtual fleet.
 
@@ -74,7 +77,7 @@ from lpdnet_tpu.models.lpdnet import (
 )
 from lpdnet_tpu.models.model import knn_window_policy, use_pallas_gather
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
-from lpdnet_tpu.models.pointnet import PointMLP
+from lpdnet_tpu.models.pointnet import PointMLP, STN3d
 from lpdnet_tpu.ops.features import eigen_features_and_knn
 from lpdnet_tpu.ops.knn import knn_indices
 from lpdnet_tpu.ops.morton import morton_sort
@@ -180,6 +183,48 @@ class _PostUnit(nn.Module):
         )(h, train=train)
 
 
+class _PNFrontUnit(nn.Module):
+    """PointNetVLAD baseline trunk, front half: STN3d input alignment +
+    mlp1 (models/pointnet.py PointNetFeat, SURVEY C10)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.use_input_transform:
+            trans = STN3d(k=3, dtype=dtype, name="stn")(x, train=train)
+            x = jnp.einsum(
+                "bnc,bcd->bnd", x, trans, preferred_element_type=jnp.float32
+            )
+        return PointMLP(
+            [64, 64], relu_last=True, dtype=dtype, name="mlp1"
+        )(x, train=train)
+
+
+class _PNBackUnit(nn.Module):
+    """PointNetVLAD baseline trunk, back half: optional 64x64 feature
+    alignment + mlp2 to ``feature_dim`` per-point features."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.use_feature_transform:
+            ftrans = STN3d(k=64, dtype=dtype, name="fstn")(h, train=train)
+            h = jnp.einsum(
+                "bnc,bcd->bnd", h, ftrans,
+                preferred_element_type=jnp.float32,
+            )
+        return PointMLP(
+            [64, 128, cfg.feature_dim], relu_last=False, dtype=dtype,
+            name="mlp2",
+        )(h, train=train)
+
+
 class _HeadUnit(nn.Module):
     """NetVLAD head + output normalization (models/model.py tail)."""
 
@@ -215,10 +260,24 @@ class _Unit:
 
 
 def _make_units(cfg: ModelConfig) -> List[_Unit]:
+    if cfg.trunk == "pointnetvlad":
+        front_paths = {"mlp1": ("trunk", "mlp1")}
+        if cfg.use_input_transform:
+            front_paths["stn"] = ("trunk", "stn")
+        back_paths = {"mlp2": ("trunk", "mlp2")}
+        if cfg.use_feature_transform:
+            back_paths["fstn"] = ("trunk", "fstn")
+        return [
+            _Unit("pn_front", _PNFrontUnit(cfg), front_paths, 64),
+            _Unit("pn_back", _PNBackUnit(cfg), back_paths,
+                  cfg.feature_dim),
+            _Unit("head", _HeadUnit(cfg), {"netvlad": ("netvlad",)},
+                  cfg.output_dim),
+        ]
     if cfg.trunk != "lpdnet":
         raise NotImplementedError(
-            "pipeline parallelism is implemented for the flagship 'lpdnet' "
-            f"trunk (got {cfg.trunk!r})"
+            f"pipeline parallelism supports the 'lpdnet' and "
+            f"'pointnetvlad' trunks (got {cfg.trunk!r})"
         )
     return [
         _Unit(

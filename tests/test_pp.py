@@ -77,12 +77,37 @@ def test_plan_rejects_bad_stage_counts(bits):
     cfg, _, variables, _ = bits
     with pytest.raises(ValueError, match="num_stages"):
         build_plan(cfg, 5, variables)
-    with pytest.raises(NotImplementedError, match="lpdnet"):
+    with pytest.raises(NotImplementedError, match="trunks"):
         build_plan(
-            ModelConfig(trunk="pointnetvlad", num_points=N),
-            2,
-            variables,
+            ModelConfig(trunk="nope", num_points=N), 2, variables
         )
+
+
+@pytest.mark.parametrize("stages,micro", [(3, 2), (2, 4)])
+def test_pp_embed_pointnetvlad_matches_full_model(stages, micro):
+    """The baseline PointNetVLAD trunk (SURVEY C10) pipelines too: units
+    [STN + mlp1] -> [mlp2] -> [head]; the staged forward must reproduce
+    the monolithic model exactly."""
+    cfg = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=64,
+        num_clusters=8, output_dim=32,
+    )
+    model, variables = init_model(cfg, jax.random.key(2), batch_size=1)
+    pts = jnp.asarray(
+        np.random.RandomState(3).randn(8, N, 3).astype(np.float32) * 0.3
+    )
+    ref = model.apply(variables, pts, train=False)
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(
+        plan, mesh, microbatch_size=pts.shape[0] // micro
+    )
+    out = embed(pstack, sstack, pts)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
 
 
 def test_pp_embed_rejects_width_mismatch(bits):
@@ -395,6 +420,33 @@ def test_pp_train_step_rejects_single_row_microbatches(bits):
     )
     with pytest.raises(ValueError, match="single\\s+submap"):
         step(state, _tuple_batch(b=2))
+
+
+@pytest.mark.slow
+def test_pp_train_step_learns_pointnetvlad():
+    """The baseline-trunk pipeline trains: finite falling loss through
+    the staged schedule's BN-mutating branches."""
+    cfg = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=64,
+        num_clusters=8, output_dim=32,
+    )
+    model, variables = init_model(cfg, jax.random.key(2), batch_size=1)
+    loss_cfg = LossConfig(lazy=True)
+    train_cfg = TrainConfig(
+        batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3, loss=loss_cfg,
+    )
+    plan = build_plan(cfg, 3, variables)
+    mesh = make_pp_mesh(3)
+    state = create_pp_train_state(plan, mesh, variables, train_cfg)
+    step = make_pp_train_step(plan, loss_cfg, mesh, microbatches=4)
+    batch = _tuple_batch(b=2)
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
 
 
 @pytest.mark.slow
