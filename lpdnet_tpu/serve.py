@@ -17,6 +17,8 @@ Example:
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Callable, Iterable, Optional, Tuple, Union
 
 import numpy as np
@@ -46,6 +48,7 @@ class DescriptorIndex:
         # descriptor cosine >= 0.99999 — PERF_LOG round 3).
         self.transfer_dtype = transfer_dtype
         self._db: Optional[jnp.ndarray] = None  # (M, D) on device
+        self.names: Optional[list] = None  # row -> submap file (load())
 
     # -- embedding ---------------------------------------------------------
     def embed(self, clouds: np.ndarray) -> np.ndarray:
@@ -112,12 +115,141 @@ class DescriptorIndex:
         return np.asarray(idx), np.asarray(sqd)
 
     # -- persistence -------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, names: Optional[list] = None) -> None:
+        """Persist the database matrix (and, optionally, the submap file
+        names the rows came from — restored into ``self.names``)."""
         if self._db is None:
             raise RuntimeError("index is empty")
-        np.savez_compressed(path, database=np.asarray(self._db))
+        arrays = {"database": np.asarray(self._db)}
+        if names is not None:
+            if len(names) != self.size:
+                raise ValueError(
+                    f"{len(names)} names for {self.size} database rows"
+                )
+            arrays["names"] = np.asarray(names, dtype=np.str_)
+        np.savez_compressed(path, **arrays)
 
     def load(self, path: str) -> int:
         data = np.load(path)
         self._db = jnp.asarray(data["database"])
+        self.names = (
+            [str(s) for s in data["names"]] if "names" in data else None
+        )
         return self.size
+
+
+# ---------------------------------------------------------------------------
+# CLI: build an index from a directory of .bin submaps and query it —
+# the online counterpart of evaluate.py's offline benchmark (config and
+# checkpoint restore mirror evaluate.py's).
+# ---------------------------------------------------------------------------
+
+
+def _list_bins(root: str) -> list:
+    import glob as globlib
+
+    names = sorted(
+        globlib.glob(os.path.join(root, "**", "*.bin"), recursive=True)
+    )
+    if not names:
+        raise SystemExit(f"no .bin submaps under {root}")
+    return names
+
+
+def _load_clouds(names: list, num_points: int) -> np.ndarray:
+    from lpdnet_tpu.data.binio import load_pc_file
+
+    # load_pc_file joins (folder, fname); the CLI globs absolute paths,
+    # and os.path.join("", abspath) is the path itself.
+    return np.stack([load_pc_file(n, "", num_points) for n in names])
+
+
+def main(argv=None) -> None:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="Online serving: build/query a descriptor index."
+    )
+    ap.add_argument("--log_dir", required=True,
+                    help="training log dir (config.json + checkpoints/)")
+    ap.add_argument("--torch_checkpoint", default=None,
+                    help="serve an imported reference torch checkpoint "
+                         "instead of the log dir's latest")
+    ap.add_argument("--index", required=True,
+                    help="index file (.npz): written by --build_dir, read "
+                         "for --query_dir")
+    ap.add_argument("--build_dir", default=None,
+                    help="build the index from every .bin under this dir")
+    ap.add_argument("--query_dir", default=None,
+                    help="query the index with every .bin under this dir")
+    ap.add_argument("-k", type=int, default=5)
+    ap.add_argument("--batch_size", type=int, default=32)
+    args = ap.parse_args(argv)
+    if not args.build_dir and not args.query_dir:
+        ap.error("nothing to do: pass --build_dir and/or --query_dir")
+
+    from lpdnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lpdnet_tpu.train.state import create_train_state
+    from lpdnet_tpu.train.step import make_embed_fn
+    from lpdnet_tpu.utils.checkpoint import CheckpointManager, load_config
+
+    cfg = load_config(args.log_dir)
+    if cfg is None:
+        raise SystemExit(
+            f"no config.json under {args.log_dir} — serve needs the "
+            "training run's saved config"
+        )
+    model, state = create_train_state(cfg.model, cfg.train, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.torch_checkpoint:
+        from lpdnet_tpu.utils.import_torch import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
+    else:
+        ckpt_dir = f"{args.log_dir}/checkpoints"
+        if os.path.isdir(ckpt_dir):
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_epoch() is not None:
+                state, epoch = mgr.restore(state)
+                print(f"restored checkpoint from epoch {epoch}",
+                      file=sys.stderr)
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+            mgr.close()
+
+    index = DescriptorIndex(
+        make_embed_fn(model), variables, batch_size=args.batch_size
+    )
+
+    if args.build_dir:
+        names = _list_bins(args.build_dir)
+        clouds = _load_clouds(names, cfg.data.num_points)
+        n = index.build(clouds)
+        index.save(args.index, names=names)
+        print(f"indexed {n} submaps -> {args.index}", file=sys.stderr)
+
+    if args.query_dir:
+        index.load(args.index)  # the database matrix + row names
+        qnames = _list_bins(args.query_dir)
+        clouds = _load_clouds(qnames, cfg.data.num_points)
+        idx, sqd = index.query(clouds, k=args.k)
+        db_names = index.names or [str(i) for i in range(index.size)]
+        for qi, qname in enumerate(qnames):
+            print(json.dumps({
+                "query": qname,
+                "neighbors": [
+                    {"file": db_names[int(j)], "index": int(j),
+                     "sq_dist": float(d)}
+                    for j, d in zip(idx[qi], sqd[qi])
+                ],
+            }))
+
+
+if __name__ == "__main__":
+    main()

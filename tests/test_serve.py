@@ -70,3 +70,61 @@ def test_identical_submap_is_top1(bits):
     idx, sqd = index.query(db, k=1)
     np.testing.assert_array_equal(idx[:, 0], np.arange(6))
     np.testing.assert_allclose(sqd[:, 0], 0.0, atol=1e-5)
+
+
+def test_serve_cli_build_and_query(tmp_path):
+    """The serving CLI end-to-end as a subprocess: save a config, build an
+    index from a directory of .bin submaps, query with two of them — each
+    query's top-1 must be its own database file, and the names round-trip
+    through the .npz index."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from lpdnet_tpu.configs import Config, DataConfig, TrainConfig
+    from lpdnet_tpu.data.binio import save_pc_file
+    from lpdnet_tpu.utils.checkpoint import save_config
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    cfg = Config(
+        model=ModelConfig(
+            trunk="pointnetvlad", num_points=N, feature_dim=64,
+            num_clusters=8, output_dim=32, use_input_transform=False,
+        ),
+        data=DataConfig(num_points=N),
+        train=TrainConfig(log_dir=str(log_dir)),
+    )
+    save_config(cfg, str(log_dir))
+
+    rs = np.random.RandomState(0)
+    db_dir, q_dir = tmp_path / "db", tmp_path / "q"
+    clouds = rs.randn(6, N, 3).astype(np.float32) * 0.3
+    for i, c in enumerate(clouds):
+        save_pc_file(c, str(db_dir / f"{i:03d}.bin"))
+    for i in (1, 4):
+        save_pc_file(clouds[i], str(q_dir / f"q{i}.bin"))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "lpdnet_tpu.serve",
+            "--log_dir", str(log_dir),
+            "--index", str(tmp_path / "index.npz"),
+            "--build_dir", str(db_dir),
+            "--query_dir", str(q_dir),
+            "-k", "3", "--batch_size", "4",
+        ],
+        env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    results = [json.loads(line) for line in out.stdout.splitlines() if line]
+    assert len(results) == 2
+    for res, i in zip(results, (1, 4)):
+        assert res["query"].endswith(f"q{i}.bin")
+        top = res["neighbors"][0]
+        assert top["file"].endswith(f"{i:03d}.bin")
+        assert top["sq_dist"] == pytest.approx(0.0, abs=1e-5)
