@@ -83,7 +83,10 @@ def test_plan_rejects_bad_stage_counts(bits):
         )
 
 
-@pytest.mark.parametrize("stages,micro", [(3, 2), (2, 4)])
+@pytest.mark.parametrize("stages,micro", [
+    (3, 2),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+])
 def test_pp_embed_pointnetvlad_matches_full_model(stages, micro):
     """The baseline PointNetVLAD trunk (SURVEY C10) pipelines too: units
     [STN + mlp1] -> [mlp2] -> [head]; the staged forward must reproduce
@@ -256,7 +259,11 @@ def test_pp_train_step_matches_microbatched_reference(bits, stages, micro):
     )
 
 
-@pytest.mark.parametrize("data,stages,micro", [(2, 2, 2), (2, 4, 1), (4, 2, 2)])
+@pytest.mark.parametrize("data,stages,micro", [
+    (2, 2, 2),
+    pytest.param(2, 4, 1, marks=pytest.mark.slow),
+    pytest.param(4, 2, 2, marks=pytest.mark.slow),
+])
 def test_dp_pp_embed_matches_full_model(bits, data, stages, micro):
     """DPxPP (2-D (data, stage) mesh): the staged forward with microbatch
     rows sharded over pipeline replicas must still reproduce the monolithic
