@@ -13,6 +13,7 @@ compiled shape.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -176,7 +177,19 @@ def format_results(results: Dict[str, object]) -> str:
 
 
 def write_results(results: Dict[str, object], output_file: str) -> None:
+    """Append the reference's text report AND a machine-readable JSONL twin
+    (``<output_file>.jsonl``) — one JSON object per eval run, so recall
+    curves diff/plot without parsing the text layout (SURVEY §5 metrics
+    row)."""
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     with open(output_file, "a") as f:
         f.write(format_results(results))
         f.write("\n")
+    record = {
+        "ave_recall": np.asarray(results["ave_recall"]).tolist(),
+        "ave_one_percent_recall": results["ave_one_percent_recall"],
+        "average_similarity": results["average_similarity"],
+        "num_pairs": results["num_pairs"],
+    }
+    with open(output_file + ".jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")

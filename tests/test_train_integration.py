@@ -100,6 +100,12 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     # Results file got written in the reference's format.
     text = (tmp_path / "log" / "results.txt").read_text()
     assert "Average Top 1% Recall" in text
+    # ... with its machine-readable JSONL twin (SURVEY §5 metrics row).
+    import json as _json
+    twin = (tmp_path / "log" / "results.txt.jsonl").read_text().splitlines()
+    rec = _json.loads(twin[-1])
+    assert rec["ave_one_percent_recall"] == 100.0
+    assert rec["ave_recall"][0] == 100.0
 
 
 @pytest.mark.slow
