@@ -324,6 +324,60 @@ def bench_latency(iters: int = 50):
     return ms, mfu
 
 
+def _wait_for_backend() -> None:
+    """The tunneled TPU backend occasionally wedges (PERF_LOG round 3:
+    trivial roundtrips hanging for ~1 h before recovering) — and the hang
+    sits inside backend registration, where no in-process timeout can
+    reach it. Probe in a subprocess with a timeout and retry with backoff,
+    so a transient wedge delays the bench instead of hanging it forever.
+
+    Env knobs: BENCH_BACKEND_WAIT_S (total retry budget, default 1800,
+    0 disables the guard), BENCH_BACKEND_PROBE_TIMEOUT_S (per-probe kill
+    timeout, default 180 — a healthy tunneled handshake takes ~20-60 s).
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
+        return
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "1800"))
+    if budget <= 0:
+        return
+    probe_timeout = float(
+        os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT_S", "180"))
+    probe = (
+        "import jax, numpy as np; "
+        "a = jax.device_put(np.ones((8, 128), np.float32)); "
+        "a.block_until_ready(); print(jax.devices()[0].platform)"
+    )
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"backend probe recovered on attempt {attempt}",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                f"backend unreachable after {budget:.0f} s ({attempt} "
+                "probes) — wedged tunnel; refusing to hang in backend init",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        print(f"backend probe {attempt} failed/hung; retrying",
+              file=sys.stderr)
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
     import argparse
 
@@ -337,6 +391,7 @@ def main():
                              "latency"])
     args = ap.parse_args()
 
+    _wait_for_backend()
     enable_compilation_cache()
     if args.mode == "latency":
         ms, mfu = bench_latency()
