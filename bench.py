@@ -350,22 +350,57 @@ def _wait_for_backend() -> None:
         "a = jax.device_put(np.ones((8, 128), np.float32)); "
         "a.block_until_ready(); print(jax.devices()[0].platform)"
     )
+
+    import tempfile
+
+    def run_probe():
+        """Returns (status, stderr_tail): status 'ok' | 'fail' | 'hang'.
+        Output goes to a temp file, not a pipe — after a kill of a child
+        wedged in uninterruptible device I/O, a pipe-draining
+        communicate() would block forever (the hang this guard exists to
+        prevent); a file lets us abandon the corpse and move on."""
+        with tempfile.TemporaryFile() as out:
+            p = subprocess.Popen(
+                [sys.executable, "-c", probe],
+                stdout=out, stderr=subprocess.STDOUT,
+            )
+            try:
+                rc = p.wait(timeout=probe_timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass  # D-state corpse; abandon it
+                return "hang", ""
+            out.seek(0)
+            tail = out.read().decode(errors="replace")[-2000:]
+            return ("ok" if rc == 0 else "fail"), tail
+
     deadline = time.time() + budget
     attempt = 0
+    fast_fails = 0
     while True:
         attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe],
-                capture_output=True, timeout=probe_timeout,
-            )
-            if r.returncode == 0:
-                if attempt > 1:
-                    print(f"backend probe recovered on attempt {attempt}",
-                          file=sys.stderr)
-                return
-        except subprocess.TimeoutExpired:
-            pass
+        status, tail = run_probe()
+        if status == "ok":
+            if attempt > 1:
+                print(f"backend probe recovered on attempt {attempt}",
+                      file=sys.stderr)
+            return
+        if status == "fail":
+            # A deterministic startup error (version mismatch, chip busy,
+            # broken install) is not a transient wedge: surface it and
+            # stop burning the retry budget after 3 consecutive fails.
+            fast_fails += 1
+            print(f"backend probe {attempt} exited nonzero:\n{tail}",
+                  file=sys.stderr)
+            if fast_fails >= 3:
+                print("backend probe failing deterministically; giving up",
+                      file=sys.stderr)
+                sys.exit(4)
+        else:
+            fast_fails = 0
         if time.time() >= deadline:
             print(
                 f"backend unreachable after {budget:.0f} s ({attempt} "
@@ -373,8 +408,7 @@ def _wait_for_backend() -> None:
                 file=sys.stderr,
             )
             sys.exit(3)
-        print(f"backend probe {attempt} failed/hung; retrying",
-              file=sys.stderr)
+        print(f"backend probe {attempt} {status}; retrying", file=sys.stderr)
         time.sleep(min(60.0, max(5.0, deadline - time.time())))
 
 

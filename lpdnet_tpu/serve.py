@@ -156,12 +156,16 @@ def _list_bins(root: str) -> list:
     return names
 
 
-def _load_clouds(names: list, num_points: int) -> np.ndarray:
-    from lpdnet_tpu.data.binio import load_pc_file
+def _cloud_batches(
+    names: list, num_points: int, batch_size: int
+) -> Iterable[np.ndarray]:
+    """Stream (<=batch_size, N, C) arrays so a large map directory never
+    materializes in host memory at once. The CLI globs absolute paths, so
+    the loader's dataset_folder stays empty."""
+    from lpdnet_tpu.data.binio import load_pc_files
 
-    # load_pc_file joins (folder, fname); the CLI globs absolute paths,
-    # and os.path.join("", abspath) is the path itself.
-    return np.stack([load_pc_file(n, "", num_points) for n in names])
+    for start in range(0, len(names), batch_size):
+        yield load_pc_files(names[start : start + batch_size], "", num_points)
 
 
 def main(argv=None) -> None:
@@ -211,6 +215,7 @@ def main(argv=None) -> None:
         variables = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
     else:
         ckpt_dir = f"{args.log_dir}/checkpoints"
+        restored = False
         if os.path.isdir(ckpt_dir):
             mgr = CheckpointManager(ckpt_dir)
             if mgr.latest_epoch() is not None:
@@ -221,34 +226,50 @@ def main(argv=None) -> None:
                     "params": state.params,
                     "batch_stats": state.batch_stats,
                 }
+                restored = True
             mgr.close()
+        if not restored:
+            # Mirror evaluate.py: never silently serve random weights.
+            print(
+                f"warning: no checkpoint under {ckpt_dir}; serving the "
+                "RANDOM INIT — retrieval results are meaningless",
+                file=sys.stderr,
+            )
 
     index = DescriptorIndex(
-        make_embed_fn(model), variables, batch_size=args.batch_size
+        make_embed_fn(model), variables, batch_size=args.batch_size,
+        transfer_dtype=cfg.eval.transfer_dtype,
     )
 
     if args.build_dir:
         names = _list_bins(args.build_dir)
-        clouds = _load_clouds(names, cfg.data.num_points)
-        n = index.build(clouds)
+        n = index.build(
+            _cloud_batches(names, cfg.data.num_points, args.batch_size)
+        )
         index.save(args.index, names=names)
+        index.names = names  # the device-resident copy serves --query_dir
         print(f"indexed {n} submaps -> {args.index}", file=sys.stderr)
 
     if args.query_dir:
-        index.load(args.index)  # the database matrix + row names
+        if not args.build_dir:
+            index.load(args.index)  # the database matrix + row names
         qnames = _list_bins(args.query_dir)
-        clouds = _load_clouds(qnames, cfg.data.num_points)
-        idx, sqd = index.query(clouds, k=args.k)
         db_names = index.names or [str(i) for i in range(index.size)]
-        for qi, qname in enumerate(qnames):
-            print(json.dumps({
-                "query": qname,
-                "neighbors": [
-                    {"file": db_names[int(j)], "index": int(j),
-                     "sq_dist": float(d)}
-                    for j, d in zip(idx[qi], sqd[qi])
-                ],
-            }))
+        qpos = 0
+        for clouds in _cloud_batches(
+            qnames, cfg.data.num_points, args.batch_size
+        ):
+            idx, sqd = index.query(clouds, k=args.k)
+            for qi in range(len(clouds)):
+                print(json.dumps({
+                    "query": qnames[qpos + qi],
+                    "neighbors": [
+                        {"file": db_names[int(j)], "index": int(j),
+                         "sq_dist": float(d)}
+                        for j, d in zip(idx[qi], sqd[qi])
+                    ],
+                }))
+            qpos += len(clouds)
 
 
 if __name__ == "__main__":

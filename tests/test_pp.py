@@ -113,6 +113,31 @@ def test_pp_embed_pointnetvlad_matches_full_model(stages, micro):
     )
 
 
+def test_pp_embed_pointnetvlad_feature_transform_matches_full_model():
+    """use_feature_transform=True routes through _PNBackUnit's fstn branch
+    (64x64 feature alignment, off in the reference defaults) — the param
+    path mapping ('trunk','fstn') and the staged einsum must reproduce the
+    monolithic forward exactly."""
+    cfg = ModelConfig(
+        trunk="pointnetvlad", num_points=N, feature_dim=64,
+        num_clusters=8, output_dim=32, use_feature_transform=True,
+    )
+    model, variables = init_model(cfg, jax.random.key(5), batch_size=1)
+    pts = jnp.asarray(
+        np.random.RandomState(7).randn(8, N, 3).astype(np.float32) * 0.3
+    )
+    ref = model.apply(variables, pts, train=False)
+
+    plan = build_plan(cfg, 3, variables)
+    mesh = make_pp_mesh(3)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(plan, mesh, microbatch_size=4)
+    out = embed(pstack, sstack, pts)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_pp_embed_rejects_width_mismatch(bits):
     """The plan's activation-buffer layout is static: a batch wider than
     the planned input (e.g. 13-channel precomputed features against a

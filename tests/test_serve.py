@@ -121,6 +121,8 @@ def test_serve_cli_build_and_query(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-3000:]
+    # No checkpoint was saved: the CLI must say so, not serve silently.
+    assert "RANDOM INIT" in out.stderr
     results = [json.loads(line) for line in out.stdout.splitlines() if line]
     assert len(results) == 2
     for res, i in zip(results, (1, 4)):
@@ -128,3 +130,22 @@ def test_serve_cli_build_and_query(tmp_path):
         top = res["neighbors"][0]
         assert top["file"].endswith(f"{i:03d}.bin")
         assert top["sq_dist"] == pytest.approx(0.0, abs=1e-5)
+
+    # Query-only invocation: the database comes from the .npz on disk
+    # (build+query above served it device-resident without reloading).
+    out2 = subprocess.run(
+        [
+            sys.executable, "-m", "lpdnet_tpu.serve",
+            "--log_dir", str(log_dir),
+            "--index", str(tmp_path / "index.npz"),
+            "--query_dir", str(q_dir),
+            "-k", "3", "--batch_size", "4",
+        ],
+        env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    results2 = [json.loads(l) for l in out2.stdout.splitlines() if l]
+    assert [r["neighbors"][0]["file"] for r in results2] == [
+        r["neighbors"][0]["file"] for r in results
+    ]
