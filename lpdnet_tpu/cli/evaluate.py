@@ -21,7 +21,12 @@ from lpdnet_tpu.configs import PRESETS, apply_overrides
 from lpdnet_tpu.data.binio import load_pc_file
 from lpdnet_tpu.data.pickles import get_sets_dict, resolve_artifact
 from lpdnet_tpu.data.synthetic import make_synthetic_dataset
-from lpdnet_tpu.eval.evaluate import evaluate_model, format_results, write_results
+from lpdnet_tpu.eval.evaluate import (
+    evaluate_model,
+    format_results,
+    report_path,
+    write_results,
+)
 from lpdnet_tpu.parallel.mesh import fitting_device_count, make_mesh
 from lpdnet_tpu.train.state import create_train_state
 from lpdnet_tpu.train.step import make_embed_fn, make_embed_many_fn
@@ -231,7 +236,10 @@ def main():
                 print(format_results(results))
                 write_results(
                     results,
-                    f"{cfg.train.log_dir}/{ds_name}_{cfg.eval.output_file}",
+                    report_path(
+                        cfg.train.log_dir, cfg.eval.output_file,
+                        prefix=f"{ds_name}_",
+                    ),
                 )
         return
 
@@ -246,7 +254,9 @@ def main():
     )
     if primary:
         print(format_results(results))
-        write_results(results, f"{cfg.train.log_dir}/{cfg.eval.output_file}")
+        write_results(
+            results, report_path(cfg.train.log_dir, cfg.eval.output_file)
+        )
 
 
 if __name__ == "__main__":

@@ -176,6 +176,18 @@ def format_results(results: Dict[str, object]) -> str:
     return "\n".join(lines)
 
 
+def report_path(log_dir: str, output_file: str, prefix: str = "") -> str:
+    """Where a recall report lands: ``eval.output_file`` is log_dir-relative
+    (the reference's ``cfg.OUTPUT_FILE`` semantics), but an absolute path is
+    honored as-is — previously it was string-concatenated under log_dir,
+    silently nesting the report. A per-set ``prefix`` (``--all_sets``)
+    applies to the basename either way."""
+    if os.path.isabs(output_file):
+        d, b = os.path.split(output_file)
+        return os.path.join(d, prefix + b)
+    return os.path.join(log_dir, prefix + output_file)
+
+
 def write_results(results: Dict[str, object], output_file: str) -> None:
     """Append the reference's text report AND a machine-readable JSONL twin
     (``<output_file>.jsonl``) — one JSON object per eval run, so recall

@@ -19,7 +19,11 @@ import numpy as np
 
 from lpdnet_tpu.configs import Config, resolve_transfer_dtype
 from lpdnet_tpu.data.tuples import TupleSampler
-from lpdnet_tpu.eval.evaluate import evaluate_model, write_results
+from lpdnet_tpu.eval.evaluate import (
+    evaluate_model,
+    report_path,
+    write_results,
+)
 from lpdnet_tpu.parallel.mesh import (
     fitting_device_count, make_mesh, replicate, shard_batch,
 )
@@ -513,7 +517,7 @@ def train(
             )
             if primary:
                 write_results(
-                    results, f"{tc.log_dir}/{cfg.eval.output_file}"
+                    results, report_path(tc.log_dir, cfg.eval.output_file)
                 )
 
     ckpt.close()

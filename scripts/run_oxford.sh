@@ -51,8 +51,7 @@ $PY train.py --preset lpd_baseline \
 
 echo "== stage 2: baseline evaluation (Oxford) =="
 $PY evaluate.py --log_dir "$OUT/log_baseline" \
-  --dataset_folder "$DATASET" \
-  --output_file "$OUT/log_baseline/results.txt" $EVAL_ARGS
+  --dataset_folder "$DATASET" $EVAL_ARGS
 
 echo "== stage 3: refined training (Oxford + U.S. tuples) =="
 $PY train.py --preset refine \
@@ -66,7 +65,7 @@ $PY evaluate.py --log_dir "$OUT/log_refine" --all_sets \
 echo "== stage 5: fidelity audit (exact-kNN forward, Oxford) =="
 $PY evaluate.py --log_dir "$OUT/log_refine" --exact_knn \
   --dataset_folder "$DATASET" \
-  --output_file "$OUT/log_refine/results_exact.txt" $EVAL_ARGS
+  --output_file results_exact.txt $EVAL_ARGS
 
 echo "done. Reports: $OUT/log_*/ (+ .jsonl twins)"
 echo "North star (BASELINE.json): Oxford ave recall@1% within 0.5 pts of 94.92"

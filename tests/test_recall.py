@@ -81,3 +81,20 @@ def test_knn_retrieve_near_identical_descriptors(rng):
     idx, sqd = knn_retrieve(db, q, 3)
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(50))
     np.testing.assert_allclose(np.asarray(sqd)[:, 0], 0.0, atol=1e-9)
+
+
+def test_report_path_semantics():
+    """eval.output_file is log_dir-relative (reference cfg.OUTPUT_FILE);
+    absolute paths are honored as-is with per-set prefixes applied to the
+    basename (previously an absolute path was string-concatenated under
+    log_dir, nesting the report silently)."""
+    from lpdnet_tpu.eval.evaluate import report_path
+
+    assert report_path("log", "results.txt") == "log/results.txt"
+    assert report_path("log", "results.txt", prefix="oxford_") == (
+        "log/oxford_results.txt"
+    )
+    assert report_path("log", "/abs/out.txt") == "/abs/out.txt"
+    assert report_path("log", "/abs/out.txt", prefix="university_") == (
+        "/abs/university_out.txt"
+    )
