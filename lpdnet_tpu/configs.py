@@ -255,7 +255,12 @@ class MeshConfig:
     # builds a 2-D (data, model) mesh — the NetVLAD head (the parameter bulk:
     # hidden1 is K*D x output_dim) shards Megatron-style over the model axis,
     # the batch over the data axis (num_devices / model_devices wide).
-    # num_clusters must be divisible by model_devices.
+    # num_clusters must be divisible by model_devices. NB: TP is a MEMORY
+    # dial, not a throughput one — the trunk stays replicated, so at the
+    # flagship sizes (head ~17M params, fits one chip easily) giving
+    # devices to the model axis almost certainly LOSES throughput vs pure
+    # DP over the same mesh; use it when the head/optimizer state does not
+    # fit, or for param-heavy output_dim/cluster configs.
     model_axis: str = "model"
     model_devices: int = 1
     # How the train batch relates to the mesh:

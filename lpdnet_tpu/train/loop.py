@@ -128,6 +128,17 @@ def train(
             raise ValueError(
                 f"model_devices={mp} exceeds available devices ({avail})"
             )
+        if mp > 1:
+            # TP is a memory dial (configs.MeshConfig.model_devices): the
+            # trunk is replicated, so when the head fits one chip these
+            # devices would earn more as pure DP. Say so once, loudly.
+            print(
+                f"[tp] model_devices={mp}: NetVLAD-head sharding trades "
+                "throughput for per-chip parameter memory — prefer pure "
+                "data parallelism unless the head/optimizer state does "
+                "not fit (docs/PARALLELISM.md)",
+                flush=True,
+            )
         if cfg.mesh.batch_scaling == "per_device":
             # Each data-axis device group carries batch_num_queries
             # queries: the global batch scales with the mesh and no chip
