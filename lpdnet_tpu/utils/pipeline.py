@@ -101,8 +101,21 @@ def pipelined_embed(
         arr = np.asarray(fut)
         outs.append(arr.reshape(-1, arr.shape[-1])[:c])
 
+    def dispatch(fut):
+        # Start the D2H copy as soon as the device finishes, instead of
+        # when drain()'s np.asarray blocks for it: each blocking fetch
+        # costs a full tunnel round-trip (24-67 ms here), and with one
+        # fetch per batch the sweep goes RTT-bound even though compute
+        # and uploads are pipelined. The async copy overlaps those RTTs
+        # across the in-flight window.
+        try:
+            fut.copy_to_host_async()
+        except AttributeError:  # non-addressable / non-jax outputs
+            pass
+        return fut
+
     for pts, count in prefetch_iterator(batches, depth=depth):
-        pending.append((embed_fn(variables, pts), count))
+        pending.append((dispatch(embed_fn(variables, pts)), count))
         if len(pending) > depth:
             drain(*pending.popleft())
     while pending:
