@@ -446,6 +446,14 @@ def train(
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
                 state, loss = train_step(state, batch)
+                try:
+                    # The epoch-end mean fetches every step's scalar; on
+                    # the tunneled backend each blocking fetch costs a
+                    # full round-trip (24-67 ms), so start the tiny D2H
+                    # copies now and let them overlap training.
+                    loss.copy_to_host_async()
+                except AttributeError:
+                    pass
                 losses.append(loss)
                 queries_done += len(ids)
                 # NB: in multi-process runs EVERY process must reach
