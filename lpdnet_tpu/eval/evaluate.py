@@ -119,18 +119,27 @@ def evaluate_model(
     # Dispatch every pair's kNN retrieval before syncing any of them: the
     # dispatches queue on the device and the host round-trips overlap
     # (retrieval is RTT-bound on tunneled hosts, not compute-bound).
+    # Each run's descriptor matrix uploads ONCE (Oxford has ~44 runs =
+    # ~1900 ordered pairs; re-uploading per pair would move ~1 GB), and
+    # each pair's indices start their device-to-host copy at dispatch so
+    # the scoring loop's np.asarray finds them already on host.
+    import jax
+
     from lpdnet_tpu.eval.recall import knn_retrieve
 
+    db_dev = [jax.device_put(np.asarray(v)) for v in database_vectors]
+    q_dev = [jax.device_put(np.asarray(v)) for v in query_vectors]
     pairs = []
     for m in range(len(database_sets)):
         for n in range(len(query_sets)):
             if m == n:
                 continue
             k = min(num_neighbors, database_vectors[m].shape[0])
-            idx, _ = knn_retrieve(
-                np.asarray(database_vectors[m]),
-                np.asarray(query_vectors[n]), k,
-            )
+            idx, _ = knn_retrieve(db_dev[m], q_dev[n], k)
+            try:
+                idx.copy_to_host_async()
+            except AttributeError:
+                pass
             pairs.append((m, n, idx))
 
     recalls = []
