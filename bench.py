@@ -375,6 +375,12 @@ def _wait_for_backend() -> None:
                 return "hang", ""
             out.seek(0)
             tail = out.read().decode(errors="replace")[-2000:]
+            if rc == 0 and tail.strip().splitlines()[-1:] == ["cpu"]:
+                # jax fell back to CPU silently (deterministic accelerator
+                # init failure, not a wedge): an rc-0 CPU probe must NOT
+                # greenlight the bench to publish CPU throughput against
+                # the TPU north-star.
+                return "fail", tail + "\n(probe ran on CPU fallback)"
             return ("ok" if rc == 0 else "fail"), tail
 
     deadline = time.time() + budget

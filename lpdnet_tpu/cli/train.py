@@ -12,7 +12,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 import numpy as np

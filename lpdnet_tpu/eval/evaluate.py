@@ -194,7 +194,8 @@ def report_path(log_dir: str, output_file: str, prefix: str = "") -> str:
     if os.path.isabs(output_file):
         d, b = os.path.split(output_file)
         return os.path.join(d, prefix + b)
-    return os.path.join(log_dir, prefix + output_file)
+    d, b = os.path.split(output_file)
+    return os.path.join(log_dir, d, prefix + b)
 
 
 def write_results(results: Dict[str, object], output_file: str) -> None:

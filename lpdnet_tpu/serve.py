@@ -51,32 +51,41 @@ class DescriptorIndex:
         self.names: Optional[list] = None  # row -> submap file (load())
 
     # -- embedding ---------------------------------------------------------
-    def embed(self, clouds: np.ndarray) -> np.ndarray:
-        """(B, N, C) -> (B, D) descriptors; pads the tail to the fixed
-        serving batch so the compiled program is reused, with a depth-1
-        dispatch pipeline (next batch uploads while the device runs).
-        An empty input returns an empty (0, 0) array."""
+    def _encoded_batches(
+        self, clouds: Union[np.ndarray, Iterable[np.ndarray]]
+    ):
+        """Yield (wire-encoded padded batch, true count) pairs from one
+        array or a stream of arrays, re-chunked to the fixed serving batch
+        so the compiled program is reused. Array chunks need not be
+        batch-size multiples: each chunk's short tail is padded and its
+        valid rows stay a prefix, which the pipeline slices per batch."""
         bs = self.batch_size
-
-        def batches():
-            for start in range(0, len(clouds), bs):
-                chunk = clouds[start : start + bs]
+        chunks = [clouds] if isinstance(clouds, np.ndarray) else clouds
+        for chunk in chunks:
+            for start in range(0, len(chunk), bs):
+                part = chunk[start : start + bs]
                 yield encode_points(
-                    pad_batch(chunk, bs), self.transfer_dtype
-                ), len(chunk)
+                    pad_batch(part, bs), self.transfer_dtype
+                ), len(part)
 
-        return pipelined_embed(self.embed_fn, self.variables, batches())
+    def embed(
+        self, clouds: Union[np.ndarray, Iterable[np.ndarray]]
+    ) -> np.ndarray:
+        """(B, N, C) array or stream of such arrays -> (B, D) descriptors,
+        with a deep dispatch pipeline (uploads, compute, and downloads
+        overlap across the in-flight window — one pipeline even for a
+        streamed directory, so batches never serialize on the tunnel RTT).
+        An empty input returns an empty (0, 0) array."""
+        return pipelined_embed(
+            self.embed_fn, self.variables, self._encoded_batches(clouds)
+        )
 
     # -- database ----------------------------------------------------------
     def build(
         self, clouds: Union[np.ndarray, Iterable[np.ndarray]]
     ) -> int:
         """Embed the database submaps and keep descriptors on device."""
-        if isinstance(clouds, np.ndarray):
-            vecs = self.embed(clouds)
-        else:
-            vecs = np.concatenate([self.embed(c) for c in clouds], axis=0)
-        self._db = jnp.asarray(vecs)
+        self._db = jnp.asarray(self.embed(clouds))
         return int(self._db.shape[0])
 
     def add(self, clouds: np.ndarray) -> int:
@@ -93,10 +102,10 @@ class DescriptorIndex:
 
     # -- retrieval ---------------------------------------------------------
     def query(
-        self, clouds: np.ndarray, k: int = 1
+        self, clouds: Union[np.ndarray, Iterable[np.ndarray]], k: int = 1
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(B, N, C) query submaps -> (B, k) database indices + squared
-        distances, nearest first."""
+        """(B, N, C) query submaps (array or stream of arrays) -> (B, k)
+        database indices + squared distances, nearest first."""
         if self._db is None:
             raise RuntimeError("index is empty; call build() first")
         q = self.embed(clouds)
@@ -255,21 +264,21 @@ def main(argv=None) -> None:
             index.load(args.index)  # the database matrix + row names
         qnames = _list_bins(args.query_dir)
         db_names = index.names or [str(i) for i in range(index.size)]
-        qpos = 0
-        for clouds in _cloud_batches(
-            qnames, cfg.data.num_points, args.batch_size
-        ):
-            idx, sqd = index.query(clouds, k=args.k)
-            for qi in range(len(clouds)):
-                print(json.dumps({
-                    "query": qnames[qpos + qi],
-                    "neighbors": [
-                        {"file": db_names[int(j)], "index": int(j),
-                         "sq_dist": float(d)}
-                        for j, d in zip(idx[qi], sqd[qi])
-                    ],
-                }))
-            qpos += len(clouds)
+        # One streamed embed pipeline over every query file, one retrieval
+        # dispatch; only the (Nq, D) descriptors stay resident.
+        idx, sqd = index.query(
+            _cloud_batches(qnames, cfg.data.num_points, args.batch_size),
+            k=args.k,
+        )
+        for qi, qname in enumerate(qnames):
+            print(json.dumps({
+                "query": qname,
+                "neighbors": [
+                    {"file": db_names[int(j)], "index": int(j),
+                     "sq_dist": float(d)}
+                    for j, d in zip(idx[qi], sqd[qi])
+                ],
+            }))
 
 
 if __name__ == "__main__":

@@ -39,7 +39,15 @@ echo "== stage 0: training/test tuples (baseline 10m/50m + refine 12.5m) =="
 [ -f "$DATASET/training_queries_refine.pickle" ] || \
   $PY -m lpdnet_tpu.data.generate_queries \
     --dataset_folder "$DATASET" --out_dir "$DATASET" --mode refine $GEN_ARGS
-[ -f "$DATASET/oxford_evaluation_database.pickle" ] || \
+# All eight eval pickles must exist, else regenerate — a partially-written
+# set (crash mid-generation) would silently shrink the 4-set benchmark.
+eval_pickles_complete=1
+for ds in oxford university residential business; do
+  for kind in database query; do
+    [ -f "$DATASET/${ds}_evaluation_${kind}.pickle" ] || eval_pickles_complete=0
+  done
+done
+[ "$eval_pickles_complete" = 1 ] || \
   $PY -m lpdnet_tpu.data.generate_queries \
     --dataset_folder "$DATASET" --out_dir "$DATASET" --mode test_sets \
     --datasets oxford university residential business $GEN_ARGS

@@ -98,3 +98,11 @@ def test_report_path_semantics():
     assert report_path("log", "/abs/out.txt", prefix="university_") == (
         "/abs/university_out.txt"
     )
+
+
+def test_report_path_relative_subdir_prefixes_basename():
+    from lpdnet_tpu.eval.evaluate import report_path
+
+    assert report_path("log", "reports/run.txt", prefix="oxford_") == (
+        "log/reports/oxford_run.txt"
+    )
