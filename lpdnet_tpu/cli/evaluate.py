@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--exact_knn", action="store_true",
                    help="exact top_k selection (fidelity audit; slow)")
+    p.add_argument("--best", action="store_true",
+                   help="restore the best-by-eval checkpoint "
+                        "(checkpoints_best/) instead of the latest")
     p.add_argument("--torch_checkpoint", default=None,
                    help="import a reference torch checkpoint (state_dict "
                         "or {'epoch','state_dict','optimizer'} wrapper) "
@@ -162,12 +165,13 @@ def main():
         variables = load_torch_checkpoint(args.torch_checkpoint, cfg.model)
         print(f"imported torch checkpoint {args.torch_checkpoint}")
     else:
-        ckpt_dir = f"{cfg.train.log_dir}/checkpoints"
+        kind = "checkpoints_best" if args.best else "checkpoints"
+        ckpt_dir = f"{cfg.train.log_dir}/{kind}"
         if os.path.isdir(ckpt_dir):
             mgr = CheckpointManager(ckpt_dir)
             if mgr.latest_epoch() is not None:
                 state, epoch = mgr.restore(state)
-                print(f"restored checkpoint from epoch {epoch}")
+                print(f"restored {kind} checkpoint from epoch {epoch}")
                 variables = {
                     "params": state.params,
                     "batch_stats": state.batch_stats,

@@ -280,6 +280,16 @@ def train(
     ckpt = CheckpointManager(
         f"{tc.log_dir}/checkpoints", keep=tc.keep_checkpoints
     )
+    # Best-by-eval checkpoint (the reference keeps a best copy alongside
+    # the per-epoch save — SURVEY C17). One key retained; the best recall
+    # so far rides its extra sidecar so resumes keep comparing against it.
+    best_ckpt = CheckpointManager(f"{tc.log_dir}/checkpoints_best", keep=1)
+    best_recall = -1.0
+    _bk = best_ckpt.latest_key()
+    if _bk is not None:
+        _bx = best_ckpt.load_extra(_bk)
+        if _bx is not None and "best_recall" in _bx:
+            best_recall = float(_bx["best_recall"])
     if sharded_ckpt:
         # Shard BEFORE restore: the sharded placement is the restore
         # target (Orbax reads each process's shards directly).
@@ -538,8 +548,30 @@ def train(
                 write_results(
                     results, report_path(tc.log_dir, cfg.eval.output_file)
                 )
+            rec = float(results["ave_one_percent_recall"])
+            if rec > best_recall:
+                # Every process takes this branch identically (the recall
+                # is computed from the same gathered descriptors), which
+                # the multi-process Orbax barriers require.
+                best_recall = rec
+                saved = state_for_save()
+                key = int(saved.step)
+                if key == best_ckpt.latest_key():
+                    best_ckpt.save_extra_only(
+                        key, {"best_recall": best_recall, "epoch": epoch}
+                    )
+                else:
+                    best_ckpt.save(
+                        key, saved, epoch=epoch,
+                        extra={"best_recall": best_recall, "epoch": epoch},
+                    )
+                logger.log(
+                    "best_checkpoint", epoch=epoch, step=key,
+                    one_percent_recall=rec,
+                )
 
     ckpt.close()
+    best_ckpt.close()
     if sharded_ckpt:
         from lpdnet_tpu.parallel.tp import gather_tree
 

@@ -106,6 +106,15 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     rec = _json.loads(twin[-1])
     assert rec["ave_one_percent_recall"] == 100.0
     assert rec["ave_recall"][0] == 100.0
+    # Best-by-eval checkpoint (reference C17 keeps a best copy): saved,
+    # with the best recall riding its sidecar for resume comparisons.
+    from lpdnet_tpu.utils.checkpoint import CheckpointManager
+    best = CheckpointManager(str(tmp_path / "log" / "checkpoints_best"))
+    bk = best.latest_key()
+    assert bk is not None
+    bx = best.load_extra(bk)
+    assert bx is not None and float(bx["best_recall"]) == 100.0
+    best.close()
 
 
 @pytest.mark.slow
