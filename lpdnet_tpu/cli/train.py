@@ -214,6 +214,16 @@ def main():
         if os.path.exists(db_path):
             db_sets = get_sets_dict(db_path)
             q_sets = get_sets_dict(resolve(cfg.data.eval_query_file))
+        # Held-out validation tuples (reference TEST_FILE — the loop logs
+        # a per-epoch validation loss when the pickle exists).
+        val_sampler = None
+        test_path = resolve(cfg.data.test_file)
+        if os.path.exists(test_path):
+            val_sampler = TupleSampler(
+                get_queries_dict(test_path), loader,
+                num_pos=cfg.train.positives_per_query,
+                num_neg=cfg.train.negatives_per_query,
+            )
         res = TrainResources(
             sampler=TupleSampler(
                 queries, loader,
@@ -223,6 +233,7 @@ def main():
             loader=loader,
             database_sets=db_sets,
             query_sets=q_sets,
+            val_sampler=val_sampler,
         )
 
     logger = MetricsLogger(cfg.train.log_dir, tensorboard=args.tensorboard)

@@ -74,6 +74,16 @@ class TupleSampler:
     def has_enough_positives(self, idx: int) -> bool:
         return len(self.queries[idx]["positives"]) >= self.num_pos
 
+    def is_trainable(self, idx: int) -> bool:
+        """Queries a tuple can be built from: enough positives (reference
+        skip rule) AND at least one negative (a zero-negative query — seen
+        in small held-out regions where everything is within the negative
+        radius — has no tuple; the reference would crash sampling it)."""
+        return (
+            self.has_enough_positives(idx)
+            and len(self.queries[idx]["negatives"]) > 0
+        )
+
     # -- tuple assembly (reference get_query_tuple semantics) --------------
     def make_tuple(
         self,
@@ -206,7 +216,7 @@ class TupleSampler:
         basis for exact mid-epoch resume. Without it, all batches draw from
         the shared epoch ``rng`` (skipping would shift the stream).
         """
-        order = [i for i in self.all_indices if self.has_enough_positives(i)]
+        order = [i for i in self.all_indices if self.is_trainable(i)]
         rng.shuffle(order)
         starts = range(0, len(order) - batch_size + 1, batch_size)
         for bi, start in enumerate(starts):

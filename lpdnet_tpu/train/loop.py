@@ -32,9 +32,11 @@ from lpdnet_tpu.train.state import create_train_state
 from lpdnet_tpu.train.step import (
     make_embed_fn, make_embed_many_fn, make_train_step,
 )
+from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.utils.checkpoint import CheckpointManager, save_config
 from lpdnet_tpu.utils.logging import MetricsLogger, NullLogger
-from lpdnet_tpu.utils.pipeline import prefetch_iterator
+from lpdnet_tpu.utils.pipeline import pad_batch, prefetch_iterator
+from lpdnet_tpu.utils.wire import encode_points
 
 
 @dataclasses.dataclass
@@ -45,6 +47,10 @@ class TrainResources:
     loader: Callable[[str], np.ndarray]
     database_sets: Optional[list] = None
     query_sets: Optional[list] = None
+    # Held-out tuples (reference TEST_FILE — SURVEY C15): when set, the
+    # loop logs a per-epoch validation loss over these queries
+    # (augmentation off, no hard negatives, eval-mode forward).
+    val_sampler: Optional[TupleSampler] = None
 
 
 def train(
@@ -349,6 +355,48 @@ def train(
         )
         logger.log("mining_cache_refresh", epoch=epoch, queries=queries)
 
+    def validation_loss(epoch_idx):
+        """Mean tuple loss over the held-out queries (reference TEST_FILE —
+        SURVEY C15), eval-mode forward, augmentation off, no hard
+        negatives. Descriptors ride the same sweep embed as eval/mining,
+        so every parallelism mode is covered; multi-process runs skip it
+        (the batches here are host-global)."""
+        if res.val_sampler is None or nproc > 1:
+            return None
+        rng = np.random.RandomState(
+            (tc.seed * 2654435761 + 7919 + epoch_idx) % (2**31)
+        )
+        bs = cfg.eval.batch_size
+        variables = model_vars(state)
+        vals = []
+        for _ids, batch in res.val_sampler.epoch_batches(
+            tc.batch_num_queries, rng, rotate=False, jitter=False,
+            transfer_dtype="float32",
+        ):
+            stacked = np.concatenate(
+                [batch["query"][:, None], batch["positives"],
+                 batch["negatives"], batch["other_neg"][:, None]], axis=1,
+            )
+            b, t, n, c = stacked.shape
+            flat = stacked.reshape(b * t, n, c)
+            descs = []
+            for s in range(0, len(flat), bs):
+                chunk = flat[s : s + bs]
+                enc = encode_points(
+                    pad_batch(chunk, bs), cfg.eval.transfer_dtype
+                )
+                descs.append(
+                    np.asarray(sweep_fn(variables, enc))[: len(chunk)]
+                )
+            desc = np.concatenate(descs).reshape(b, t, -1)
+            p = batch["positives"].shape[1]
+            m = batch["negatives"].shape[1]
+            vals.append(float(loss_from_config(
+                tc.loss, desc[:, 0], desc[:, 1 : 1 + p],
+                desc[:, 1 + p : 1 + p + m], desc[:, -1],
+            )))
+        return float(np.mean(vals)) if vals else None
+
     def checkpoint_extra(epoch, next_batch, queries_done):
         return {
             "epoch": epoch,
@@ -509,6 +557,9 @@ def train(
             "epoch", epoch=epoch, loss=epoch_loss,
             steps=len(losses), queries=queries_done,
         )
+        vloss = validation_loss(epoch)
+        if vloss is not None:
+            logger.log("val", epoch=epoch, loss=vloss)
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:
             saved = state_for_save()
             key = int(saved.step)

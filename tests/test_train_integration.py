@@ -82,6 +82,11 @@ def test_train_step_decreases_loss(dataset):
 
 def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     cfg = tiny_config(tmp_path, epochs=14, warmup=2)
+    held_out = TupleSampler(
+        dataset.queries, dataset.loader,
+        num_pos=cfg.train.positives_per_query,
+        num_neg=cfg.train.negatives_per_query,
+    )
     res = TrainResources(
         sampler=TupleSampler(
             dataset.queries, dataset.loader,
@@ -91,6 +96,7 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
         loader=dataset.loader,
         database_sets=dataset.database_sets,
         query_sets=dataset.query_sets,
+        val_sampler=held_out,
     )
     out = train(cfg, res, use_mesh=True)
     recall = np.asarray(out["eval"]["ave_recall"])
@@ -106,6 +112,18 @@ def test_full_training_loop_reaches_perfect_recall(dataset, tmp_path):
     rec = _json.loads(twin[-1])
     assert rec["ave_one_percent_recall"] == 100.0
     assert rec["ave_recall"][0] == 100.0
+    # Per-epoch validation loss over the held-out tuples (reference
+    # TEST_FILE — SURVEY C15): logged every epoch, finite, and lower at
+    # the end than at the start (the model generalizes to unaugmented
+    # tuples from the same world).
+    vals = [
+        _json.loads(l)
+        for l in (tmp_path / "log" / "metrics.jsonl").read_text().splitlines()
+    ]
+    vlosses = [r["loss"] for r in vals if r["event"] == "val"]
+    assert len(vlosses) == cfg.train.max_epoch
+    assert all(np.isfinite(v) for v in vlosses)
+    assert vlosses[-1] < vlosses[0]
     # Best-by-eval checkpoint (reference C17 keeps a best copy): saved,
     # with the best recall riding its sidecar for resume comparisons.
     from lpdnet_tpu.utils.checkpoint import CheckpointManager
