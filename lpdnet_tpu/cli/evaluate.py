@@ -171,7 +171,8 @@ def main():
             mgr = CheckpointManager(ckpt_dir)
             if mgr.latest_epoch() is not None:
                 state, epoch = mgr.restore(state)
-                print(f"restored {kind} checkpoint from epoch {epoch}")
+                label = "best checkpoint" if args.best else "checkpoint"
+                print(f"restored {label} from epoch {epoch}")
                 variables = {
                     "params": state.params,
                     "batch_stats": state.batch_stats,

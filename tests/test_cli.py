@@ -138,3 +138,10 @@ def test_train_evaluate_resume_cli_roundtrip(tmp_path):
         r"Average Top 1% Recall:\s*([\d.]+)", out.stdout
     )
     assert m and 0.0 <= float(m.group(1)) <= 100.0
+
+    # 4. --best restores the best-by-eval copy (checkpoints_best/).
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints_best"))
+    out = run_cli("evaluate.py", "--synthetic", "--log_dir", log_dir,
+                  "--best")
+    assert "restored best checkpoint from epoch" in out.stdout
+    assert "Average Top 1% Recall:" in out.stdout
