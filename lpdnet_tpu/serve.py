@@ -108,20 +108,37 @@ class DescriptorIndex:
         database indices + squared distances, nearest first."""
         if self._db is None:
             raise RuntimeError("index is empty; call build() first")
-        q = self.embed(clouds)
-        idx, sqd = knn_retrieve(self._db, jnp.asarray(q), min(k, self.size))
-        return np.asarray(idx), np.asarray(sqd)
+        return self.query_descriptors(self.embed(clouds), k=k)
 
     def query_descriptors(
-        self, descriptors: np.ndarray, k: int = 1
+        self, descriptors: np.ndarray, k: int = 1, chunk: int = 1024
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Retrieve for already-embedded descriptors."""
+        """Retrieve for already-embedded descriptors.
+
+        Queries are dispatched in ``chunk``-row slices: retrieval
+        materializes a (chunk, db_size) distance tile on device, so an
+        unchunked 100k-query sweep against a large map would blow HBM.
+        All slices dispatch before the first sync (round-trips overlap)."""
         if self._db is None:
             raise RuntimeError("index is empty; call build() first")
-        idx, sqd = knn_retrieve(
-            self._db, jnp.asarray(descriptors), min(k, self.size)
-        )
-        return np.asarray(idx), np.asarray(sqd)
+        kk = min(k, self.size)
+        futs = []
+        for s in range(0, len(descriptors), chunk):
+            part = knn_retrieve(
+                self._db, jnp.asarray(descriptors[s : s + chunk]), kk
+            )
+            for f in part:
+                try:
+                    f.copy_to_host_async()
+                except AttributeError:
+                    pass
+            futs.append(part)
+        if not futs:
+            d = 0 if self._db is None else kk
+            return (np.zeros((0, d), np.int32), np.zeros((0, d), np.float32))
+        idx = np.concatenate([np.asarray(i) for i, _ in futs], axis=0)
+        sqd = np.concatenate([np.asarray(s) for _, s in futs], axis=0)
+        return idx, sqd
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str, names: Optional[list] = None) -> None:

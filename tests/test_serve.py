@@ -149,3 +149,19 @@ def test_serve_cli_build_and_query(tmp_path):
     assert [r["neighbors"][0]["file"] for r in results2] == [
         r["neighbors"][0]["file"] for r in results
     ]
+
+
+def test_query_descriptor_chunking_matches_unchunked(bits):
+    """Chunked retrieval (the HBM guard for large query sets) must return
+    exactly the unchunked results."""
+    embed, variables, ds = bits
+    index = DescriptorIndex(embed, variables, batch_size=8)
+    db = np.stack(
+        [ds.clouds[ds.database_sets[0][p]["query"]] for p in range(6)]
+    )
+    index.build(db)
+    q = index.embed(db)
+    i1, d1 = index.query_descriptors(q, k=3)
+    i2, d2 = index.query_descriptors(q, k=3, chunk=2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-7)
