@@ -35,7 +35,11 @@ from lpdnet_tpu.train.step import (
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.utils.checkpoint import CheckpointManager, save_config
 from lpdnet_tpu.utils.logging import MetricsLogger, NullLogger
-from lpdnet_tpu.utils.pipeline import pad_batch, prefetch_iterator
+from lpdnet_tpu.utils.pipeline import (
+    pad_batch,
+    pipelined_embed,
+    prefetch_iterator,
+)
 from lpdnet_tpu.utils.wire import encode_points
 
 
@@ -368,34 +372,39 @@ def train(
         )
         bs = cfg.eval.batch_size
         variables = model_vars(state)
-        vals = []
-        for _ids, batch in res.val_sampler.epoch_batches(
-            tc.batch_num_queries, rng, rotate=False, jitter=False,
-            transfer_dtype="float32",
-        ):
-            stacked = np.concatenate(
-                [batch["query"][:, None], batch["positives"],
-                 batch["negatives"], batch["other_neg"][:, None]], axis=1,
-            )
-            b, t, n, c = stacked.shape
-            flat = stacked.reshape(b * t, n, c)
-            descs = []
-            for s in range(0, len(flat), bs):
-                chunk = flat[s : s + bs]
-                enc = encode_points(
-                    pad_batch(chunk, bs), cfg.eval.transfer_dtype
+        p = tc.positives_per_query
+        m = tc.negatives_per_query
+        t = 1 + p + m + 1
+
+        def embed_chunks():
+            # One deep pipeline over the whole validation sweep (a
+            # per-batch sync here would pay one tunnel RTT per tuple
+            # batch — ~1500 of them at Oxford scale).
+            for _ids, batch in res.val_sampler.epoch_batches(
+                tc.batch_num_queries, rng, rotate=False, jitter=False,
+                transfer_dtype="float32",
+            ):
+                stacked = np.concatenate(
+                    [batch["query"][:, None], batch["positives"],
+                     batch["negatives"], batch["other_neg"][:, None]],
+                    axis=1,
                 )
-                descs.append(
-                    np.asarray(sweep_fn(variables, enc))[: len(chunk)]
-                )
-            desc = np.concatenate(descs).reshape(b, t, -1)
-            p = batch["positives"].shape[1]
-            m = batch["negatives"].shape[1]
-            vals.append(float(loss_from_config(
-                tc.loss, desc[:, 0], desc[:, 1 : 1 + p],
-                desc[:, 1 + p : 1 + p + m], desc[:, -1],
-            )))
-        return float(np.mean(vals)) if vals else None
+                b, _t, n, c = stacked.shape
+                flat = stacked.reshape(b * _t, n, c)
+                for s in range(0, len(flat), bs):
+                    chunk = flat[s : s + bs]
+                    yield encode_points(
+                        pad_batch(chunk, bs), cfg.eval.transfer_dtype
+                    ), len(chunk)
+
+        descs = pipelined_embed(sweep_fn, variables, embed_chunks())
+        if descs.shape[0] == 0:
+            return None
+        desc = descs.reshape(-1, t, descs.shape[-1])
+        return float(loss_from_config(
+            tc.loss, desc[:, 0], desc[:, 1 : 1 + p],
+            desc[:, 1 + p : 1 + p + m], desc[:, -1],
+        ))
 
     def checkpoint_extra(epoch, next_batch, queries_done):
         return {
