@@ -72,6 +72,24 @@ def _mfu(flops_total: float, seconds: float) -> float:
     return flops_total / seconds / peak
 
 
+
+# Model-config overrides applied to every mode's ModelConfig (CLI
+# --agg/--lse_t0): lets the same harness A/B alternative forward paths
+# (e.g. the gather-free LSE aggregation) without editing the file.
+_MODEL_OVERRIDES = {}
+
+
+def _model_cfg(**kw):
+    import dataclasses
+
+    from lpdnet_tpu.configs import ModelConfig
+
+    cfg = ModelConfig(**kw)
+    if _MODEL_OVERRIDES:
+        cfg = dataclasses.replace(cfg, **_MODEL_OVERRIDES)
+    return cfg
+
+
 def bench_throughput(
     batch_sizes=(16, 32, 64),
     iters: int = 10,
@@ -91,7 +109,7 @@ def bench_throughput(
     from lpdnet_tpu.configs import ModelConfig
     from lpdnet_tpu.models.model import init_model
 
-    cfg = ModelConfig(trunk=trunk, compute_dtype="bfloat16")
+    cfg = _model_cfg(trunk=trunk, compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
 
     @jax.jit
@@ -153,7 +171,7 @@ def bench_train_step(batch_queries=2, iters=8):
     from lpdnet_tpu.train.state import create_train_state
     from lpdnet_tpu.train.step import make_train_step
 
-    cfg_m = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    cfg_m = _model_cfg(trunk="lpdnet", compute_dtype="bfloat16")
     cfg_t = TrainConfig(batch_num_queries=batch_queries)
     model, state = create_train_state(cfg_m, cfg_t, jax.random.key(0))
     step = make_train_step(model, cfg_t.loss, donate=False)
@@ -216,7 +234,7 @@ def bench_eval(
     from lpdnet_tpu.models.model import init_model
     from lpdnet_tpu.train.step import make_embed_fn
 
-    cfg = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    cfg = _model_cfg(trunk="lpdnet", compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
     embed = make_embed_fn(model)
 
@@ -429,7 +447,15 @@ def main():
     ap.add_argument("--mode", default="inference",
                     choices=["inference", "train", "pointnetvlad", "eval",
                              "latency"])
+    ap.add_argument("--agg", default=None, choices=["max", "lse"],
+                    help="override ModelConfig.aggregation (LPD trunk)")
+    ap.add_argument("--lse_t0", type=float, default=None,
+                    help="override ModelConfig.lse_t0")
     args = ap.parse_args()
+    if args.agg is not None:
+        _MODEL_OVERRIDES["aggregation"] = args.agg
+    if args.lse_t0 is not None:
+        _MODEL_OVERRIDES["lse_t0"] = args.lse_t0
 
     _wait_for_backend()
     enable_compilation_cache()

@@ -111,6 +111,21 @@ class ModelConfig:
     # 256 with knn_block=512 keeps every candidate window at a power of two
     # (1024), the approx_min_k sweet spot (docs/PERF_LOG.md sweep).
     knn_window: Optional[int] = 256
+    # LPD trunk neighbour aggregation (ops/lse.py):
+    #   'max' — select indices + gather + hard max (Pallas slab kernel on
+    #     the hot path); the reference's literal semantics.
+    #   'lse' — gather-free smooth max: the selection's k-th distance masks
+    #     the SAME distance tile and the aggregation becomes a masked
+    #     log-sum-exp matmul on the MXU (backward = matmuls too, no custom
+    #     VJP). Smooth-max bias <= ~log(k)*std_c/lse_t0 per channel;
+    #     descriptor-level fidelity is measured in tests/test_lse.py and
+    #     docs/PERF_LOG.md. Requires edge_bn_placement='post'.
+    aggregation: str = "max"
+    # Dimensionless LSE sharpness: effective temperature t0/std_c per
+    # submap channel. Larger = closer to hard max, but values more than
+    # ~88*std_c/t0 below their block-window anchor underflow (clamped at
+    # the row's own value).
+    lse_t0: float = 24.0
 
     @property
     def effective_input_dim(self) -> int:

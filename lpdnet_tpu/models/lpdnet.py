@@ -15,6 +15,7 @@ max-over-neighbours reduction.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import flax.linen as nn
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 
 from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices
+from lpdnet_tpu.ops.lse import knn_lse_aggregate
 from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather_trainable
 from lpdnet_tpu.models.pointnet import PointMLP
 
@@ -68,9 +70,20 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, idx: jnp.ndarray, train: bool = False
+        self,
+        x: jnp.ndarray,
+        idx: jnp.ndarray | None,
+        train: bool = False,
+        agg_fn=None,
     ) -> jnp.ndarray:
         # x: (B, N, C), idx: (B, N, k) -> (B, N, width)
+        #
+        # ``agg_fn`` (optional): a callable (B, N, width) -> (B, N, width)
+        # that max-aggregates per-point values over each point's
+        # neighbourhood WITHOUT an index list (the gather-free LSE matmul
+        # path — ops/lse.py). When given, ``idx`` is unused and may be
+        # None; parameters are identical either way, so checkpoints are
+        # interchangeable between aggregation modes.
         c = x.shape[-1]
         x = x.astype(self.dtype)
         kernel = self.param(
@@ -94,7 +107,9 @@ class EdgeConv(nn.Module):
             dtype=jnp.float32 if train else self.dtype, name="bn",
         )
         if self.bn_placement == "post":
-            if self.pallas_gather and x.shape[1] % 16 == 0:
+            if agg_fn is not None:
+                agg = agg_fn(proj_nbr)
+            elif self.pallas_gather and x.shape[1] % 16 == 0:
                 # Differentiable in training too: custom VJP runs the
                 # eq-mask scatter backward as a Pallas kernel. The kernel
                 # needs SLAB-aligned N; other shapes take the XLA path.
@@ -103,6 +118,11 @@ class EdgeConv(nn.Module):
                 agg = jnp.max(gather_neighbors(proj_nbr, idx), axis=2)
             return nn.relu(bn(agg + proj_ctr))
         elif self.bn_placement == "edge":
+            if agg_fn is not None:
+                raise ValueError(
+                    "agg_fn (LSE aggregation) requires bn_placement='post' — "
+                    "the 'edge' parity path needs the per-edge tensor"
+                )
             e = gather_neighbors(proj_nbr, idx) + proj_ctr[:, :, None, :]
             return jnp.max(nn.relu(bn(e)), axis=2)
         raise ValueError(f"unknown bn_placement: {self.bn_placement!r}")
@@ -138,6 +158,13 @@ class LPDNetFeat(nn.Module):
     # features are spatially smooth, so their neighbours stay index-local
     # (measured ~98% recall at 512 on submap-like clouds).
     knn_window: int | None = None
+    # Neighbour aggregation: 'max' = select + gather + hard max (Pallas
+    # slab kernel on the hot path); 'lse' = gather-free smooth max via
+    # masked log-sum-exp matmuls on the MXU (ops/lse.py) — the selection's
+    # k-th distance masks the SAME distance tile and the aggregation (and
+    # its backward) become matmuls. Requires edge_bn_placement='post'.
+    aggregation: str = "max"
+    lse_t0: float = 24.0
 
     @nn.compact
     def __call__(
@@ -155,28 +182,47 @@ class LPDNetFeat(nn.Module):
         # on-device feature stage already ran this exact kNN search —
         # ``idx_xyz`` reuses it instead of paying for a second one.
         dist_dtype = knn_dist_dtype(self.dtype)
-        if idx_xyz is None:
-            idx_xyz = knn_indices(
-                xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,
+        if self.aggregation == "lse":
+            # Gather-free path: EdgeConv aggregates via the masked-LSE
+            # matmul closed over the graph's metric space; no index lists.
+            def lse_over(space):
+                return partial(
+                    knn_lse_aggregate, space, k=self.k, t0=self.lse_t0,
+                    block=self.knn_block, window=self.knn_window,
+                    recall_target=self.recall_target, exact=self.exact_knn,
+                    dist_dtype=dist_dtype,
+                )
+            h = EdgeConv(
+                self.spatial_width, dtype=self.dtype,
+                bn_placement=self.edge_bn_placement, name="edge_spatial",
+            )(h, None, train=train, agg_fn=lse_over(xyz))
+            h = EdgeConv(
+                self.feature_width, dtype=self.dtype,
+                bn_placement=self.edge_bn_placement, name="edge_feature",
+            )(h, None, train=train, agg_fn=lse_over(h))
+        else:
+            if idx_xyz is None:
+                idx_xyz = knn_indices(
+                    xyz, self.k, block=self.knn_block, dist_dtype=dist_dtype,
+                    recall_target=self.recall_target, exact=self.exact_knn,
+                    window=self.knn_window,
+                )
+            h = EdgeConv(
+                self.spatial_width, dtype=self.dtype,
+                bn_placement=self.edge_bn_placement,
+                pallas_gather=self.pallas_gather, name="edge_spatial",
+            )(h, idx_xyz, train=train)
+            # Graph 2: neighbourhoods rebuilt in learned-feature space.
+            idx_feat = knn_indices(
+                h, self.k, block=self.knn_block, dist_dtype=dist_dtype,
                 recall_target=self.recall_target, exact=self.exact_knn,
                 window=self.knn_window,
             )
-        h = EdgeConv(
-            self.spatial_width, dtype=self.dtype,
-            bn_placement=self.edge_bn_placement,
-            pallas_gather=self.pallas_gather, name="edge_spatial",
-        )(h, idx_xyz, train=train)
-        # Graph 2: neighbourhoods rebuilt in learned-feature space.
-        idx_feat = knn_indices(
-            h, self.k, block=self.knn_block, dist_dtype=dist_dtype,
-            recall_target=self.recall_target, exact=self.exact_knn,
-            window=self.knn_window,
-        )
-        h = EdgeConv(
-            self.feature_width, dtype=self.dtype,
-            bn_placement=self.edge_bn_placement,
-            pallas_gather=self.pallas_gather, name="edge_feature",
-        )(h, idx_feat, train=train)
+            h = EdgeConv(
+                self.feature_width, dtype=self.dtype,
+                bn_placement=self.edge_bn_placement,
+                pallas_gather=self.pallas_gather, name="edge_feature",
+            )(h, idx_feat, train=train)
         h = PointMLP(
             list(self.post_widths) + [self.feature_dim],
             relu_last=False,

@@ -92,6 +92,8 @@ class DescriptorNet(nn.Module):
                 recall_target=cfg.features.recall_target,
                 exact_knn=cfg.exact_knn,
                 knn_window=window,
+                aggregation=cfg.aggregation,
+                lse_t0=cfg.lse_t0,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":

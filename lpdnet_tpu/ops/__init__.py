@@ -14,6 +14,7 @@ batched XLA/Pallas primitives (SURVEY §2 "First-class TPU counterparts").
 from lpdnet_tpu.ops.eigen import eigvals_sym3x3, eigvals_sym2x2, smallest_eigvec_sym3x3
 from lpdnet_tpu.ops.pairwise import pairwise_sqdist
 from lpdnet_tpu.ops.knn import knn_indices, knn_indices_and_dists
+from lpdnet_tpu.ops.lse import knn_lse_aggregate
 from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.features import (
     eigen_features,
@@ -33,6 +34,7 @@ __all__ = [
     "pairwise_sqdist",
     "knn_indices",
     "knn_indices_and_dists",
+    "knn_lse_aggregate",
     "gather_neighbors",
     "eigen_features",
     "eigen_features_and_knn",

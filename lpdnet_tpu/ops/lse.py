@@ -1,0 +1,226 @@
+"""Fused kNN max-aggregation as masked log-sum-exp matmuls (MXU path).
+
+The LPD trunk's EdgeConv aggregation (reference: ``get_graph_feature`` +
+max over neighbours — SURVEY C11) is ``out[i, c] = max_{j in knn(i)}
+proj[j, c]``.  Every previous implementation here materialized the
+neighbour set: select indices (``approx_min_k``) -> gather k rows -> max.
+The gather is issue-bound at ~2.4 ns/edge (docs/PERF_LOG.md "gather
+floor") and dominates both the forward (~58%) and the train step (~60%,
+with its eq-mask scatter VJP).
+
+This op removes the gather entirely with the same masked-matmul
+philosophy the handcrafted-feature stage already uses
+(``ops/features.py``: neighbourhood moments = ``mask @ moments``):
+
+  max_j v_j  ~=  (1/t) * log( sum_j exp(t * v_j) )      (smooth max)
+
+and the masked sum over neighbours IS a matmul on the distance mask:
+
+  S[i, c] = sum_w mask[i, w] * exp(t * (v[w, c] - M[c]))
+          = (mask @ E)[i, c]                             (MXU)
+
+where ``mask[i, w] = (d[i, w] <= kth(i))`` falls out of the SAME distance
+tile the kNN selection already scans, and the k-th-distance threshold is
+the selection's own last value.  The backward of ``mask @ E`` is two more
+matmuls (a softmax-weighted scatter), so plain autodiff replaces the
+custom-VJP Pallas scatter kernel as well.
+
+Numerics (all measured bounds in tests/test_lse.py):
+
+- **Temperature** is per submap and per channel: ``t = t0 / std_c`` with
+  ``std_c`` the channel's std over the submap's points (stop-gradient).
+  The smooth-max bias is ``log(m)/t <= log(m) * std_c / t0`` for ``m``
+  near-ties — scale-invariant in the values.
+- **Anchor** is per scan block and per channel: ``M = max over the UNION
+  of the block's masked candidates`` (stop-gradient), so exponents are
+  <= 0 and the exp's underflow horizon (~88/t below the anchor in f32;
+  the bf16 cast used for the matmul keeps ~ the same horizon since bf16
+  shares f32's exponent range) is relative to the values actually being
+  aggregated by this block, not the global max.  **Two-level anchoring**
+  (a second sum re-anchored ``_SHIFT`` exponent units lower, with an
+  exact branch split — see the scan body) extends the horizon to
+  ``~(87 + _SHIFT)`` units = ``~6.3 * std_c`` at the default ``t0``.
+  Rows whose entire neighbourhood still sits below that clamp; with
+  ``exclude_self=False`` (the model default — the reference's graph
+  keeps the self-match) the result is additionally floored at the row's
+  own value, which bounds the clamp error by the neighbourhood's value
+  spread.
+- The mask is exact 0/1 in bf16; the matmul accumulates in f32.
+
+Threshold semantics vs the gather path: the mask keeps EVERY candidate
+with ``d <= kth``, so distance ties at the k-th neighbour all aggregate
+(the gather keeps an arbitrary k of them), and when ``approx_min_k``
+overestimates the k-th distance the mask INCLUDES the true neighbours the
+index list missed — mask neighbour recall is >= the index recall at the
+same ``recall_target``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpdnet_tpu.ops.pairwise import pairwise_sqdist
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# Second-level anchor offset (in exponent units): values between ~87 and
+# ~(87 + _SHIFT) below the block anchor are carried by the re-anchored
+# second sum. 64 keeps both levels comfortably inside f32/bf16 exp range.
+_SHIFT = 64.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "t0", "block", "window", "exclude_self", "exact",
+        "recall_target", "dist_dtype",
+    ),
+)
+def knn_lse_aggregate(
+    space: jnp.ndarray,
+    values: jnp.ndarray,
+    k: int,
+    *,
+    t0: float = 48.0,
+    block: int = 512,
+    window: Optional[int] = None,
+    exclude_self: bool = False,
+    exact: bool = False,
+    recall_target: float = 0.95,
+    dist_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Smooth ``max_{j in knn(i)} values[j]`` over a self-graph, gather-free.
+
+    Args:
+      space: (B, N, Cs) points defining the metric (xyz or learned features).
+      values: (B, N, C) per-point values to max-aggregate over neighbours.
+      k: neighbourhood size (the k-th smallest distance sets the mask).
+      t0: dimensionless sharpness; the effective temperature is
+        ``t0 / std_c`` per submap and channel. Larger = closer to the hard
+        max (bias <= log(m)*std_c/t0) but a narrower contribution window
+        (~88*std_c/t0 below each block anchor).
+      block / window / exclude_self / exact / recall_target / dist_dtype:
+        as in ``ops.knn.knn_indices_and_dists`` (the scan skeleton is the
+        same; ``window`` requires Morton-sorted input).
+
+    Returns:
+      (B, N, C) aggregated values, in ``values.dtype``.
+    """
+    b, n, _ = space.shape
+    c = values.shape[-1]
+    if values.shape[:2] != (b, n):
+        raise ValueError(
+            f"space {space.shape} and values {values.shape} disagree on (B, N)"
+        )
+    sp = space.astype(jnp.float32)
+    vals = values.astype(jnp.float32)
+
+    # Per-submap, per-channel temperature (stop-grad: t is a numeric knob,
+    # not a learnable path).
+    std = jnp.std(vals, axis=1, keepdims=True)  # (B, 1, C)
+    t = jax.lax.stop_gradient(float(t0) / jnp.maximum(std, 1e-6))
+
+    block = min(block, _round_up(n, 8))
+    n_pad = _round_up(n, block)
+    num_blocks = n_pad // block
+    q_pad = jnp.pad(sp, ((0, 0), (0, n_pad - n), (0, 0)))
+    q_tiles = q_pad.reshape(b, num_blocks, block, -1).transpose(1, 0, 2, 3)
+    if exclude_self:
+        base = jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 0) * block
+        row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 1)
+    else:
+        row_ids = jnp.zeros((num_blocks, block), jnp.int32)
+
+    win_n = n if window is None else min(block + 2 * window, n)
+    if window is not None and win_n >= n:
+        window = None
+        win_n = n
+    if window is not None and k > win_n - (1 if exclude_self else 0):
+        raise ValueError(
+            f"k={k} too large for the candidate window "
+            f"(block + 2*window = {win_n}); widen window or block"
+        )
+    if window is not None:
+        los = np.clip(
+            np.arange(num_blocks) * block - window, 0, n - win_n
+        ).astype(np.int32)
+    else:
+        los = np.zeros(num_blocks, np.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win_n), 2)
+
+    mm_dtype = jnp.float32 if exact else jnp.bfloat16
+    tiny = float(np.finfo(np.float32).tiny)
+
+    def scan_body(carry, tile):
+        q_tile, rows, lo = tile  # (B, block, Cs), (block,), ()
+        cand = (
+            sp if window is None
+            else jax.lax.dynamic_slice_in_dim(sp, lo, win_n, axis=1)
+        )
+        vals_w = (
+            vals if window is None
+            else jax.lax.dynamic_slice_in_dim(vals, lo, win_n, axis=1)
+        )
+        d = pairwise_sqdist(q_tile, cand)  # (B, block, win_n)
+        if exclude_self:
+            d = jnp.where(col_ids + lo == rows[None, :, None], jnp.inf, d)
+        if exact:
+            kd = -jax.lax.top_k(-d, k)[0]
+        else:
+            d = d.astype(jnp.dtype(dist_dtype))
+            kd = jax.lax.approx_min_k(d, k, recall_target=recall_target)[0]
+        kth = kd[..., -1:]  # (B, block, 1)
+        m_bool = jax.lax.stop_gradient(d <= kth)  # (B, block, win_n)
+        mask = m_bool.astype(mm_dtype)
+        # Per-(block, channel) anchor over the UNION of the block's masked
+        # candidates: the tightest per-block upper bound of every
+        # contributing value (a candidate no query masks cannot push the
+        # anchor up), which keeps the exp's underflow horizon relative to
+        # the neighbourhoods actually being aggregated.
+        in_union = jnp.any(m_bool, axis=1)[..., None]  # (B, win_n, 1)
+        anchor = jax.lax.stop_gradient(
+            jnp.max(jnp.where(in_union, vals_w, -jnp.inf), axis=1, keepdims=True)
+        )  # (B, 1, C)
+        # Two-level anchoring doubles the exp's dynamic range (z down to
+        # ~-(87+_SHIFT) instead of ~-87): e2 re-anchors _SHIFT lower, with
+        # values above that clipped to 1. The branch split is EXACT: if
+        # s1 >= e^-_SHIFT then every non-negligible contribution was
+        # representable in e1; otherwise the row's max z is < -_SHIFT, so
+        # none of its e2 entries hit the clip.
+        z = t * (vals_w - anchor)  # <= 0 on masked candidates
+        e1 = jnp.exp(z).astype(mm_dtype)  # (B, win_n, C)
+        e2 = jnp.exp(jnp.minimum(z + _SHIFT, 0.0)).astype(mm_dtype)
+        s1 = jnp.einsum(
+            "bqw,bwc->bqc", mask, e1, preferred_element_type=jnp.float32
+        )
+        s2 = jnp.einsum(
+            "bqw,bwc->bqc", mask, e2, preferred_element_type=jnp.float32
+        )
+        log_s = jnp.where(
+            s1 >= float(np.exp(-_SHIFT)),
+            jnp.log(jnp.maximum(s1, tiny)),
+            jnp.log(jnp.maximum(s2, tiny)) - _SHIFT,
+        )
+        out = anchor + log_s / t  # (B, block, C)
+        return carry, out
+
+    _, out = jax.lax.scan(
+        scan_body, None, (q_tiles, row_ids, jnp.asarray(los))
+    )
+    out = out.transpose(1, 0, 2, 3).reshape(b, n_pad, c)[:, :n]
+    if not exclude_self:
+        # The self-match is in every mask, so LSE >= the row's own value
+        # whenever its exp contribution survives; flooring at that value
+        # turns deep-underflow clamps (a row whose whole neighbourhood sits
+        # ~88*std/t0 below its block anchor) into a bounded error and is a
+        # no-op otherwise.
+        out = jnp.maximum(out, vals)
+    return out.astype(values.dtype)
