@@ -127,6 +127,22 @@ class ModelConfig:
     # the row's own value).
     lse_t0: float = 24.0
 
+    def __post_init__(self):
+        if self.aggregation not in ("max", "lse"):
+            raise ValueError(
+                f"model.aggregation must be 'max' or 'lse', got "
+                f"{self.aggregation!r}"
+            )
+        if self.aggregation == "lse" and self.trunk != "lpdnet":
+            # The baseline PointNet trunk has no neighbour aggregation at
+            # all — silently ignoring the flag would let a user believe
+            # they measured/trained the LSE path when they didn't.
+            raise ValueError(
+                "model.aggregation='lse' is an LPD-trunk setting "
+                f"(trunk={self.trunk!r} has no neighbour aggregation); "
+                "use --trunk lpdnet or drop the aggregation override"
+            )
+
     @property
     def effective_input_dim(self) -> int:
         if self.trunk == "lpdnet" and self.compute_features_on_device:

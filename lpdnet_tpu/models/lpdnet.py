@@ -15,7 +15,6 @@ max-over-neighbours reduction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import flax.linen as nn
@@ -33,6 +32,36 @@ def knn_dist_dtype(dtype) -> str:
     the (blocked) pairwise distances in bf16 too; anything else stays f32.
     Shared by the monolithic trunk and the pipelined stages (parallel/pp.py)."""
     return "bfloat16" if jnp.dtype(dtype) == jnp.bfloat16 else "float32"
+
+
+def make_lse_agg(
+    space,
+    *,
+    k: int,
+    t0: float,
+    block: int,
+    window,
+    recall_target: float,
+    exact: bool,
+    dist_dtype: str,
+    std_fn=None,
+):
+    """Build the gather-free LSE ``agg_fn`` for one EdgeConv (ops/lse.py).
+
+    SHARED by the monolithic trunk (LPDNetFeat), the pipelined stages
+    (parallel/pp.py), and point-parallel serving (parallel/sp.py) so the
+    aggregation policy can never drift between the paths.  ``std_fn``
+    (values -> (B, 1, C) std) overrides the op's internal whole-submap
+    channel std — SP passes a psum-over-shards reduction there.
+    """
+    def agg(values):
+        std = None if std_fn is None else std_fn(values)
+        return knn_lse_aggregate(
+            space, values, k, t0=t0, block=block, window=window,
+            recall_target=recall_target, exact=exact,
+            dist_dtype=dist_dtype, std=std,
+        )
+    return agg
 
 
 class EdgeConv(nn.Module):
@@ -172,7 +201,12 @@ class LPDNetFeat(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         idx_xyz: jnp.ndarray | None = None,
+        lse_std_fn=None,
     ) -> jnp.ndarray:
+        # ``lse_std_fn`` (call-time, optional): values -> (B, 1, C) std
+        # override for the LSE temperature — point-parallel callers
+        # (parallel/sp.py) pass a psum-over-shards reduction so sharded
+        # and single-device temperatures match. Ignored under 'max'.
         xyz = x[..., :3]
         h = PointMLP(
             list(self.pre_widths), relu_last=True, dtype=self.dtype,
@@ -186,11 +220,11 @@ class LPDNetFeat(nn.Module):
             # Gather-free path: EdgeConv aggregates via the masked-LSE
             # matmul closed over the graph's metric space; no index lists.
             def lse_over(space):
-                return partial(
-                    knn_lse_aggregate, space, k=self.k, t0=self.lse_t0,
+                return make_lse_agg(
+                    space, k=self.k, t0=self.lse_t0,
                     block=self.knn_block, window=self.knn_window,
                     recall_target=self.recall_target, exact=self.exact_knn,
-                    dist_dtype=dist_dtype,
+                    dist_dtype=dist_dtype, std_fn=lse_std_fn,
                 )
             h = EdgeConv(
                 self.spatial_width, dtype=self.dtype,

@@ -96,6 +96,7 @@ def knn_lse_aggregate(
     exact: bool = False,
     recall_target: float = 0.95,
     dist_dtype: str = "float32",
+    std: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Smooth ``max_{j in knn(i)} values[j]`` over a self-graph, gather-free.
 
@@ -110,6 +111,11 @@ def knn_lse_aggregate(
       block / window / exclude_self / exact / recall_target / dist_dtype:
         as in ``ops.knn.knn_indices_and_dists`` (the scan skeleton is the
         same; ``window`` requires Morton-sorted input).
+      std: optional (B, 1, C) per-submap channel std overriding the
+        internal ``jnp.std(values, axis=1)``. Point-parallel callers
+        (parallel/sp.py) pass the GLOBAL std here — each shard sees only
+        its local window rows, but the temperature must match the
+        single-device model's whole-submap statistic.
 
     Returns:
       (B, N, C) aggregated values, in ``values.dtype``.
@@ -125,8 +131,15 @@ def knn_lse_aggregate(
 
     # Per-submap, per-channel temperature (stop-grad: t is a numeric knob,
     # not a learnable path).
-    std = jnp.std(vals, axis=1, keepdims=True)  # (B, 1, C)
-    t = jax.lax.stop_gradient(float(t0) / jnp.maximum(std, 1e-6))
+    if std is None:
+        std = jnp.std(vals, axis=1, keepdims=True)  # (B, 1, C)
+    elif std.shape != (b, 1, c):
+        raise ValueError(
+            f"std shape {std.shape} != {(b, 1, c)} (per-submap channel std)"
+        )
+    t = jax.lax.stop_gradient(
+        float(t0) / jnp.maximum(std.astype(jnp.float32), 1e-6)
+    )
 
     block = min(block, _round_up(n, 8))
     n_pad = _round_up(n, block)

@@ -73,7 +73,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lpdnet_tpu.configs import LossConfig, ModelConfig, TrainConfig
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.models.lpdnet import (
-    EdgeConv, LPDNetFeat, knn_dist_dtype,
+    EdgeConv, LPDNetFeat, knn_dist_dtype, make_lse_agg,
 )
 from lpdnet_tpu.models.model import knn_window_policy, use_pallas_gather
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
@@ -92,6 +92,19 @@ _use_pallas = use_pallas_gather
 
 def _dist_dtype(cfg: ModelConfig) -> str:
     return knn_dist_dtype(cfg.compute_dtype)
+
+
+def _lse_agg(cfg: ModelConfig, space):
+    """The gather-free LSE aggregator for one EdgeConv, parameterized
+    exactly as DescriptorNet parameterizes LPDNetFeat (models/model.py) —
+    stages must aggregate identically to the monolithic trunk
+    (tests/test_pp.py pins staged == monolithic under 'lse')."""
+    return make_lse_agg(
+        space, k=cfg.graph_k, t0=cfg.lse_t0,
+        block=cfg.features.knn_block, window=_window(cfg),
+        recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
+        dist_dtype=_dist_dtype(cfg),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +147,11 @@ class _SpatialUnit(nn.Module):
             list(LPDNetFeat.pre_widths), relu_last=True, dtype=dtype,
             name="pre",
         )(x, train=train)
+        if cfg.aggregation == "lse":
+            return EdgeConv(
+                LPDNetFeat.spatial_width, dtype=dtype,
+                bn_placement=cfg.edge_bn_placement, name="edge_spatial",
+            )(h, None, train=train, agg_fn=_lse_agg(cfg, xyz))
         if idx_xyz is None:
             idx_xyz = knn_indices(
                 xyz, cfg.graph_k, block=cfg.features.knn_block,
@@ -156,6 +174,11 @@ class _FeatureUnit(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.aggregation == "lse":
+            return EdgeConv(
+                LPDNetFeat.feature_width, dtype=jnp.dtype(cfg.compute_dtype),
+                bn_placement=cfg.edge_bn_placement, name="edge_feature",
+            )(h, None, train=train, agg_fn=_lse_agg(cfg, h))
         idx_feat = knn_indices(
             h, cfg.graph_k, block=cfg.features.knn_block,
             dist_dtype=_dist_dtype(cfg),

@@ -172,6 +172,8 @@ def make_sp_embed_fn(
         recall_target=cfg.features.recall_target,
         exact_knn=cfg.exact_knn,
         knn_window=None,
+        aggregation=cfg.aggregation,
+        lse_t0=cfg.lse_t0,
     )
     trunk_vars = {
         "params": variables["params"]["trunk"],
@@ -194,7 +196,26 @@ def make_sp_embed_fn(
         )
         x13 = jnp.concatenate([pts.astype(jnp.float32), feats], axis=-1)
         idx_xyz = idx if cfg.features.k == cfg.graph_k else None
-        h = trunk.apply(trunk_vars, x13, train=False, idx_xyz=idx_xyz)
+        lse_std_fn = None
+        if cfg.aggregation == "lse":
+            # The LSE temperature is a whole-submap channel statistic
+            # (ops/lse.py): each shard holds only its window rows, so the
+            # std comes from a psum of CENTER-row moments (halo rows are
+            # recomputed by neighbours and must not double-count).
+            def lse_std_fn(values):
+                center = jax.lax.dynamic_slice_in_dim(
+                    values, off[0], block, axis=1
+                ).astype(jnp.float32)
+                s = jax.lax.psum(jnp.sum(center, 1, keepdims=True), axis)
+                ss = jax.lax.psum(
+                    jnp.sum(jnp.square(center), 1, keepdims=True), axis
+                )
+                mean = s / n
+                return jnp.sqrt(jnp.maximum(ss / n - jnp.square(mean), 0.0))
+        h = trunk.apply(
+            trunk_vars, x13, train=False, idx_xyz=idx_xyz,
+            lse_std_fn=lse_std_fn,
+        )
         center = jax.lax.dynamic_slice_in_dim(h, off[0], block, axis=1)
         center = center.astype(jnp.float32)
         logits = _assignment_logits(

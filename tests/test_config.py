@@ -98,3 +98,18 @@ def test_parse_override_value():
     assert parse_override_value("null") is None
     assert parse_override_value("lpdnet") == "lpdnet"
     assert parse_override_value('"quoted"') == "quoted"
+
+
+def test_aggregation_validation():
+    """aggregation='lse' on the aggregation-free PointNet trunk must fail
+    loud (a silently-ignored flag let a vacuous LSE "verification" train
+    the baseline trunk), as must unknown aggregation values."""
+    import pytest
+
+    from lpdnet_tpu.configs import ModelConfig
+
+    ModelConfig(trunk="lpdnet", aggregation="lse")  # fine
+    with pytest.raises(ValueError, match="LPD-trunk"):
+        ModelConfig(trunk="pointnetvlad", aggregation="lse")
+    with pytest.raises(ValueError, match="aggregation"):
+        ModelConfig(trunk="lpdnet", aggregation="softmax")

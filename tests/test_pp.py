@@ -173,6 +173,94 @@ def test_pp_embed_matches_full_model(bits, stages, micro):
     )
 
 
+@pytest.mark.parametrize("stages,micro", [(4, 2), (2, 4)])
+def test_pp_embed_lse_matches_full_model(stages, micro):
+    """aggregation='lse' composes with PP (VERDICT round-3 item 2): the
+    staged forward must reproduce the monolithic LSE model exactly — the
+    stage units build their aggregator from the SAME shared helper
+    (models/lpdnet.py make_lse_agg), so the comparison is bit-for-bit up
+    to f32 reduction order."""
+    cfg = tiny_cfg(aggregation="lse", lse_t0=24.0)
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    pts = jnp.asarray(
+        np.random.RandomState(2).randn(8, N, 3).astype(np.float32) * 0.3
+    )
+    ref = model.apply(variables, pts, train=False)
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(plan, mesh, microbatch_size=pts.shape[0] // micro)
+    out = embed(pstack, sstack, pts)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_pp_train_step_lse_matches_microbatched_reference():
+    """Pipelined LSE training == the sequential-microbatch reference (the
+    same bar the max path holds): loss and first-step Adam moments.
+
+    Runs the exact path (f32 distances, hard top_k, f32 LSE matmuls): in
+    approx mode the staged and monolithic programs fuse the bf16
+    exp/mask matmuls differently, and the resulting h-fuzz flips
+    near-kth mask membership in the feature-space graph — discrete
+    gradient-routing noise (measured up to ~6e-3 on BN biases) that the
+    approx-mode EMBED parity test above shows is forward-benign. Exact
+    mode removes the nondeterminism so this is a pure wiring check."""
+    cfg = tiny_cfg(aggregation="lse", lse_t0=24.0, exact_knn=True)
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    loss_cfg = LossConfig(lazy=True, ignore_zero_loss=False)
+    train_cfg = TrainConfig(
+        batch_num_queries=2, positives_per_query=2, negatives_per_query=4,
+        base_learning_rate=1e-3, loss=loss_cfg,
+    )
+    batch = _tuple_batch(b=2)
+    flat, p, m = _flatten_tuples(jax.tree_util.tree_map(jnp.asarray, batch))
+    micro, stages = 2, 3
+    b, t = 2, 1 + p + m + 1
+    inputs = flat.reshape(micro, flat.shape[0] // micro, N, 3)
+
+    (ref_loss, _), ref_grads = _microbatched_reference(
+        model, variables["params"], variables["batch_stats"], inputs,
+        loss_cfg, b, t,
+    )
+
+    plan = build_plan(cfg, stages, variables)
+    mesh = make_pp_mesh(stages)
+    state = create_pp_train_state(plan, mesh, variables, train_cfg)
+    step = make_pp_train_step(
+        plan, loss_cfg, mesh, microbatches=micro, donate=False
+    )
+    new_state, loss = step(state, batch)
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+    mu = new_state.opt_state[0].mu
+    grad_vars = stacks_to_variables(
+        plan, mu / (1.0 - 0.9), jnp.zeros_like(new_state.sstack)
+    )
+    flat_ref = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    }
+    flat_pp = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(
+            grad_vars["params"]
+        )[0]
+    }
+    assert set(flat_ref) == set(flat_pp)
+    for k in flat_ref:
+        # No discrete gather tie-flips on the LSE path (soft aggregation),
+        # so the tolerance is pure f32 reduction-order noise.
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
+            atol=2e-4, rtol=1e-2, err_msg=k,
+        )
+
+
 def _microbatched_reference(model, params, batch_stats, inputs, loss_cfg,
                             b, t):
     """Sequential-microbatch forward with carried BN state: the semantics

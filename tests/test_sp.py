@@ -52,6 +52,53 @@ def test_sp_embed_matches_single_device(rng):
     assert cos.min() > 0.999, cos
 
 
+def test_sp_embed_lse_matches_single_device(rng):
+    """aggregation='lse' composes with SP (VERDICT round-3 item 2): the
+    sharded forward must reproduce the single-device LSE model from the
+    same parameters. The LSE temperature is a whole-submap channel std —
+    SP reconstructs it from a psum of center-row moments; anchors are
+    block-local on both paths (mathematically neutral, underflow-horizon
+    only), so parity holds to the same bar as the max path."""
+    cfg = make_cfg(aggregation="lse", lse_t0=24.0)
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=1)
+    mesh = make_mesh(8, "points")
+    pts = clustered(rng, 2)
+
+    single = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, pts)
+    )
+    sp = np.asarray(make_sp_embed_fn(cfg, mesh, variables)(pts))
+    assert sp.shape == single.shape == (2, 32)
+    cos = np.sum(single * sp, -1) / (
+        np.linalg.norm(single, axis=-1) * np.linalg.norm(sp, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
+def test_sp_lse_std_matches_global(rng):
+    """The psum'd center-row moments reconstruct the exact whole-submap
+    channel std: descriptors are invariant to WHERE the std is computed,
+    so pin the statistic itself via a tiny shard_map harness."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    vals = rng.randn(2, 64, 5).astype(np.float32)
+    want = vals.std(axis=1, keepdims=True)
+    mesh = make_mesh(8, "points")
+    block = 64 // 8
+
+    def fn(v):  # v: (2, 8, 5) local center rows
+        s = jax.lax.psum(jnp.sum(v, 1, keepdims=True), "points")
+        ss = jax.lax.psum(jnp.sum(v * v, 1, keepdims=True), "points")
+        mean = s / 64.0
+        return jnp.sqrt(jnp.maximum(ss / 64.0 - mean * mean, 0.0))
+
+    got = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(None, "points", None),
+        out_specs=P(), check_vma=False,
+    )(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
 def test_sp_embed_validates_config(rng):
     mesh = make_mesh(8, "points")
     cfg = make_cfg(knn_window=None)
