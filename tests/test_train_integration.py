@@ -199,3 +199,59 @@ def test_checkpoint_resume_roundtrip(dataset, tmp_path):
     s1 = out1["state"]
     s2 = out2["state"]
     assert int(s2.step) > int(s1.step)
+
+
+def test_checkpoint_interchange_max_lse(dataset, tmp_path):
+    """Aggregation modes share parameters (models/lpdnet.py EdgeConv:
+    agg_fn changes the compute, not the param tree), so checkpoints are
+    interchangeable: train under 'max', read the SAME checkpoint back
+    under 'lse' — descriptors must agree, and training must resume and
+    continue under 'lse' (VERDICT round-3 item 6)."""
+    import jax.numpy as jnp
+
+    from lpdnet_tpu.models.model import build_model
+
+    cfg = tiny_config(tmp_path, trunk="lpdnet", epochs=2, warmup=99)
+    res = TrainResources(
+        sampler=TupleSampler(
+            dataset.queries, dataset.loader,
+            num_pos=cfg.train.positives_per_query,
+            num_neg=cfg.train.negatives_per_query,
+        ),
+        loader=dataset.loader,
+    )
+    out1 = train(cfg, res, use_mesh=False)
+    variables = {
+        "params": out1["state"].params,
+        "batch_stats": out1["state"].batch_stats,
+    }
+    pts = jnp.asarray(
+        np.stack([dataset.loader(dataset.queries[i]["query"]) for i in range(8)])
+    )
+    d_max = np.asarray(build_model(cfg.model).apply(variables, pts, train=False))
+    d_lse = np.asarray(
+        build_model(
+            dataclasses.replace(cfg.model, aggregation="lse")
+        ).apply(variables, pts, train=False)
+    )
+    cos = np.sum(d_max * d_lse, -1)  # both L2-normalized
+    assert cos.min() > 0.97, cos
+
+    # Resume the max-trained checkpoint under 'lse' and keep training.
+    cfg2 = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, aggregation="lse"),
+        train=dataclasses.replace(cfg.train, max_epoch=3, resume=True),
+    )
+    out2 = train(cfg2, res, use_mesh=False)
+    assert int(out2["state"].step) > int(out1["state"].step)
+    d_resumed = np.asarray(
+        build_model(cfg2.model).apply(
+            {
+                "params": out2["state"].params,
+                "batch_stats": out2["state"].batch_stats,
+            },
+            pts, train=False,
+        )
+    )
+    assert np.all(np.isfinite(d_resumed))
