@@ -69,6 +69,8 @@ def main():
                     help="training queries to step through per phase")
     ap.add_argument("--batch_num_queries", type=int, default=2)
     ap.add_argument("--eval_batch", type=int, default=64)
+    ap.add_argument("--agg", default="max", choices=["max", "lse"],
+                    help="trunk neighbour aggregation (ops/lse.py)")
     args = ap.parse_args()
 
     from lpdnet_tpu.utils.cache import enable_compilation_cache
@@ -89,7 +91,9 @@ def main():
         queries, lambda i: clouds[i], num_pos=2, num_neg=18, cache=False
     )
 
-    cfg_m = ModelConfig(trunk="lpdnet", compute_dtype="bfloat16")
+    cfg_m = ModelConfig(
+        trunk="lpdnet", compute_dtype="bfloat16", aggregation=args.agg
+    )
     cfg_t = TrainConfig(batch_num_queries=args.batch_num_queries)
     model, state = create_train_state(cfg_m, cfg_t, jax.random.key(0))
     step = make_train_step(model, cfg_t.loss, donate=False)
