@@ -123,15 +123,24 @@ class ModelConfig:
     aggregation: str = "max"
     # Dimensionless LSE sharpness: effective temperature t0/std_c per
     # submap channel. Larger = closer to hard max, but values more than
-    # ~88*std_c/t0 below their block-window anchor underflow (clamped at
-    # the row's own value).
+    # ~(87 + (lse_levels-1)*64)*std_c/t0 below their block-window anchor
+    # underflow (clamped at the row's own value).
     lse_t0: float = 24.0
+    # Anchor levels for the LSE exp range (ops/lse.py): each extra level
+    # is one more mask matmul per scan block and extends the underflow
+    # horizon by 64 exponent units (~6.3 std at 2, ~9 std at 3, for the
+    # default t0).
+    lse_levels: int = 2
 
     def __post_init__(self):
         if self.aggregation not in ("max", "lse"):
             raise ValueError(
                 f"model.aggregation must be 'max' or 'lse', got "
                 f"{self.aggregation!r}"
+            )
+        if self.lse_levels < 1:
+            raise ValueError(
+                f"model.lse_levels must be >= 1, got {self.lse_levels}"
             )
         if self.aggregation == "lse" and self.trunk != "lpdnet":
             # The baseline PointNet trunk has no neighbour aggregation at

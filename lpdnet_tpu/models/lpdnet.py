@@ -45,6 +45,7 @@ def make_lse_agg(
     exact: bool,
     dist_dtype: str,
     std_fn=None,
+    levels: int = 2,
 ):
     """Build the gather-free LSE ``agg_fn`` for one EdgeConv (ops/lse.py).
 
@@ -59,7 +60,7 @@ def make_lse_agg(
         return knn_lse_aggregate(
             space, values, k, t0=t0, block=block, window=window,
             recall_target=recall_target, exact=exact,
-            dist_dtype=dist_dtype, std=std,
+            dist_dtype=dist_dtype, std=std, levels=levels,
         )
     return agg
 
@@ -194,6 +195,7 @@ class LPDNetFeat(nn.Module):
     # its backward) become matmuls. Requires edge_bn_placement='post'.
     aggregation: str = "max"
     lse_t0: float = 24.0
+    lse_levels: int = 2
 
     @nn.compact
     def __call__(
@@ -225,6 +227,7 @@ class LPDNetFeat(nn.Module):
                     block=self.knn_block, window=self.knn_window,
                     recall_target=self.recall_target, exact=self.exact_knn,
                     dist_dtype=dist_dtype, std_fn=lse_std_fn,
+                    levels=self.lse_levels,
                 )
             h = EdgeConv(
                 self.spatial_width, dtype=self.dtype,

@@ -94,6 +94,7 @@ class DescriptorNet(nn.Module):
                 knn_window=window,
                 aggregation=cfg.aggregation,
                 lse_t0=cfg.lse_t0,
+                lse_levels=cfg.lse_levels,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz)
         elif cfg.trunk == "pointnetvlad":

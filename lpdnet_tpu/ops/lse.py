@@ -33,18 +33,28 @@ Numerics (all measured bounds in tests/test_lse.py):
   near-ties — scale-invariant in the values.
 - **Anchor** is per scan block and per channel: ``M = max over the UNION
   of the block's masked candidates`` (stop-gradient), so exponents are
-  <= 0 and the exp's underflow horizon (~88/t below the anchor in f32;
-  the bf16 cast used for the matmul keeps ~ the same horizon since bf16
-  shares f32's exponent range) is relative to the values actually being
-  aggregated by this block, not the global max.  **Two-level anchoring**
-  (a second sum re-anchored ``_SHIFT`` exponent units lower, with an
-  exact branch split — see the scan body) extends the horizon to
-  ``~(87 + _SHIFT)`` units = ``~6.3 * std_c`` at the default ``t0``.
+  <= 0 *on masked candidates* and the exp's underflow horizon (~88/t
+  below the anchor in f32; the bf16 cast used for the matmul keeps ~ the
+  same horizon since bf16 shares f32's exponent range) is relative to
+  the values actually being aggregated by this block, not the global
+  max.  **Multi-level anchoring** (``levels`` sums, level ``l``
+  re-anchored ``l * _SHIFT`` exponent units lower, with an exact branch
+  split — see the scan body) extends the horizon to
+  ``~(87 + (levels-1) * _SHIFT)`` units = ``~6.3 * std_c`` at
+  ``levels=2`` / ``~9 * std_c`` at ``levels=3`` for the default ``t0``.
   Rows whose entire neighbourhood still sits below that clamp; with
   ``exclude_self=False`` (the model default — the reference's graph
   keeps the self-match) the result is additionally floored at the row's
   own value, which bounds the clamp error by the neighbourhood's value
   spread.
+- **Unmasked candidates can sit ABOVE the anchor** (the anchor covers the
+  union of *masked* candidates only — a window/halo point nobody selects
+  is outside it), so every level's exponent is clamped at 0 before the
+  exp: without the clamp, ``exp(z) = inf`` on such an outlier turns the
+  masked matmul into ``0 * inf = NaN``.  The clamp is exact for masked
+  candidates (their ``z <= 0`` by construction).  This was a real
+  failure: flagship-scale training NaN'd from step 1 (round-4 battery,
+  docs/PERF_LOG.md) via exactly this path.
 - The mask is exact 0/1 in bf16; the matmul accumulates in f32.
 
 Threshold semantics vs the gather path: the mask keeps EVERY candidate
@@ -71,9 +81,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Second-level anchor offset (in exponent units): values between ~87 and
-# ~(87 + _SHIFT) below the block anchor are carried by the re-anchored
-# second sum. 64 keeps both levels comfortably inside f32/bf16 exp range.
+# Per-level anchor offset (in exponent units): level ``l`` carries values
+# between ~(87 + (l-1)*_SHIFT) and ~(87 + l*_SHIFT) below the block
+# anchor. 64 keeps each level comfortably inside f32/bf16 exp range while
+# leaving the branch split's tail-miss error at ~e^-16 relative (see the
+# scan body).
 _SHIFT = 64.0
 
 
@@ -81,7 +93,7 @@ _SHIFT = 64.0
     jax.jit,
     static_argnames=(
         "k", "t0", "block", "window", "exclude_self", "exact",
-        "recall_target", "dist_dtype",
+        "recall_target", "dist_dtype", "levels",
     ),
 )
 def knn_lse_aggregate(
@@ -97,6 +109,7 @@ def knn_lse_aggregate(
     recall_target: float = 0.95,
     dist_dtype: str = "float32",
     std: Optional[jnp.ndarray] = None,
+    levels: int = 2,
 ) -> jnp.ndarray:
     """Smooth ``max_{j in knn(i)} values[j]`` over a self-graph, gather-free.
 
@@ -116,6 +129,11 @@ def knn_lse_aggregate(
         (parallel/sp.py) pass the GLOBAL std here — each shard sees only
         its local window rows, but the temperature must match the
         single-device model's whole-submap statistic.
+      levels: number of anchor levels (>= 1). Each extra level is one
+        more mask matmul per scan block and extends the underflow
+        horizon by ``_SHIFT`` exponent units (``~_SHIFT * std_c / t0``
+        in value space); rows whose whole neighbourhood sits below the
+        last level's horizon clamp (bounded by the self-value floor).
 
     Returns:
       (B, N, C) aggregated values, in ``values.dtype``.
@@ -126,6 +144,8 @@ def knn_lse_aggregate(
         raise ValueError(
             f"space {space.shape} and values {values.shape} disagree on (B, N)"
         )
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
     sp = space.astype(jnp.float32)
     vals = values.astype(jnp.float32)
 
@@ -202,26 +222,52 @@ def knn_lse_aggregate(
         anchor = jax.lax.stop_gradient(
             jnp.max(jnp.where(in_union, vals_w, -jnp.inf), axis=1, keepdims=True)
         )  # (B, 1, C)
-        # Two-level anchoring doubles the exp's dynamic range (z down to
-        # ~-(87+_SHIFT) instead of ~-87): e2 re-anchors _SHIFT lower, with
-        # values above that clipped to 1. The branch split is EXACT: if
-        # s1 >= e^-_SHIFT then every non-negligible contribution was
-        # representable in e1; otherwise the row's max z is < -_SHIFT, so
-        # none of its e2 entries hit the clip.
+        # Multi-level anchoring extends the exp's dynamic range (z down
+        # to ~-(87 + (levels-1)*_SHIFT) instead of ~-87): level l
+        # re-anchors l*_SHIFT lower, with values above that clipped to 1
+        # by the min.  The min ALSO guards the overflow path: an unmasked
+        # halo candidate can sit ABOVE the anchor (z > 0), and without
+        # the clamp exp(z)=inf turns the masked matmul into 0*inf=NaN —
+        # for masked candidates z <= 0 so the clamp is exact.
+        #
+        # Branch split (EXACT, per level): if s_l >= e^-_SHIFT then every
+        # non-negligible contribution was representable in e_l (tail miss
+        # <= win_n * e^-87 ~ e^-80, i.e. <= e^-16 relative); otherwise
+        # every entry of e_l is < e^-_SHIFT, so z + l*_SHIFT < -_SHIFT
+        # for all candidates and none of level l+1's entries hit the
+        # clip.  Rows below the LAST level's horizon fall back to its
+        # tiny-clamped log (bounded by the self-value floor below).
         z = t * (vals_w - anchor)  # <= 0 on masked candidates
-        e1 = jnp.exp(z).astype(mm_dtype)  # (B, win_n, C)
-        e2 = jnp.exp(jnp.minimum(z + _SHIFT, 0.0)).astype(mm_dtype)
-        s1 = jnp.einsum(
-            "bqw,bwc->bqc", mask, e1, preferred_element_type=jnp.float32
-        )
-        s2 = jnp.einsum(
-            "bqw,bwc->bqc", mask, e2, preferred_element_type=jnp.float32
-        )
+        sums = []
+        for l in range(levels):
+            # where (not minimum): the anchor candidate sits at z == 0
+            # exactly, and minimum's tie gradient would halve/zero its
+            # cotangent — where keeps grad 1 on the z branch at the tie.
+            z_l = z + l * _SHIFT
+            e_l = jnp.exp(jnp.where(z_l > 0.0, 0.0, z_l)).astype(mm_dtype)
+            sums.append(jnp.einsum(
+                "bqw,bwc->bqc", mask, e_l, preferred_element_type=jnp.float32
+            ))
+        # The last level doubles as the deep-clamp fallback: rows whose
+        # sum sits below the branch threshold keep the tiny-clamped VALUE
+        # but freeze the gradient — log's backward there is cot/s with
+        # s < e^-_SHIFT (possibly 0 -> cot/tiny), which overflows f32 to
+        # inf and turns into NaN against the zero exp entries in the
+        # einsum transpose.  Such rows are horizon-clamped anyway; their
+        # softmax weights are tail noise.  Selected rows (s >= e^-_SHIFT)
+        # keep exact gradients: cot/s <= cot * e^_SHIFT stays finite.
+        raw_last = jnp.log(jnp.maximum(sums[-1], tiny))
         log_s = jnp.where(
-            s1 >= float(np.exp(-_SHIFT)),
-            jnp.log(jnp.maximum(s1, tiny)),
-            jnp.log(jnp.maximum(s2, tiny)) - _SHIFT,
-        )
+            sums[-1] >= float(np.exp(-_SHIFT)),
+            raw_last,
+            jax.lax.stop_gradient(raw_last),
+        ) - (levels - 1) * _SHIFT
+        for l in range(levels - 2, -1, -1):
+            log_s = jnp.where(
+                sums[l] >= float(np.exp(-_SHIFT)),
+                jnp.log(jnp.maximum(sums[l], tiny)) - l * _SHIFT,
+                log_s,
+            )
         out = anchor + log_s / t  # (B, block, C)
         return carry, out
 

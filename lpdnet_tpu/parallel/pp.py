@@ -100,7 +100,7 @@ def _lse_agg(cfg: ModelConfig, space):
     stages must aggregate identically to the monolithic trunk
     (tests/test_pp.py pins staged == monolithic under 'lse')."""
     return make_lse_agg(
-        space, k=cfg.graph_k, t0=cfg.lse_t0,
+        space, k=cfg.graph_k, t0=cfg.lse_t0, levels=cfg.lse_levels,
         block=cfg.features.knn_block, window=_window(cfg),
         recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
         dist_dtype=_dist_dtype(cfg),

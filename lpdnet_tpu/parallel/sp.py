@@ -174,6 +174,7 @@ def make_sp_embed_fn(
         knn_window=None,
         aggregation=cfg.aggregation,
         lse_t0=cfg.lse_t0,
+        lse_levels=cfg.lse_levels,
     )
     trunk_vars = {
         "params": variables["params"]["trunk"],

@@ -93,6 +93,9 @@ def main():
                     help="trained dress-rehearsal log dir (config.json + "
                          "checkpoints/)")
     ap.add_argument("--t0", default="12,24,48,96")
+    ap.add_argument("--levels", default="2",
+                    help="comma list of lse_levels values to cross with "
+                         "the t0 sweep (anchor levels, ops/lse.py)")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4,
@@ -173,26 +176,31 @@ def main():
         "cos_min": mn, "cos_mean": mean, "rate_max": rate_max,
     }
 
-    # --- gate A: LSE vs max per t0, with throughput -----------------------
+    # --- gate A: LSE vs max per (t0, levels), with throughput -------------
     t0_list = [float(t) for t in args.t0.split(",")]
+    levels_list = [int(v) for v in args.levels.split(",")]
     sweep = []
-    for t0v in t0_list:
-        emb_lse = embed_for(aggregation="lse", lse_t0=t0v)
-        d_lse = run(emb_lse, clouds)
-        mn_a, mean_a = cos_stats(np.concatenate(d_lse), np.concatenate(d_max))
-        mn_e, mean_e = cos_stats(
-            np.concatenate(d_lse), np.concatenate(d_exact)
-        )
-        rate = throughput(emb_lse, clouds[0])
-        print(f"[t0={t0v:g}] cos vs max-approx: min {mn_a:.6f} mean "
-              f"{mean_a:.6f} | vs exact oracle: min {mn_e:.6f} mean "
-              f"{mean_e:.6f} | {rate:.0f} submaps/s ({rate / rate_max:.2f}x "
-              f"max)", file=sys.stderr)
-        sweep.append({
-            "t0": t0v, "cos_min_vs_max": mn_a, "cos_mean_vs_max": mean_a,
-            "cos_min_vs_exact": mn_e, "cos_mean_vs_exact": mean_e,
-            "rate": rate, "speedup_vs_max": rate / rate_max,
-        })
+    for lv in levels_list:
+        for t0v in t0_list:
+            emb_lse = embed_for(aggregation="lse", lse_t0=t0v, lse_levels=lv)
+            d_lse = run(emb_lse, clouds)
+            mn_a, mean_a = cos_stats(
+                np.concatenate(d_lse), np.concatenate(d_max)
+            )
+            mn_e, mean_e = cos_stats(
+                np.concatenate(d_lse), np.concatenate(d_exact)
+            )
+            rate = throughput(emb_lse, clouds[0])
+            print(f"[t0={t0v:g} levels={lv}] cos vs max-approx: min "
+                  f"{mn_a:.6f} mean {mean_a:.6f} | vs exact oracle: min "
+                  f"{mn_e:.6f} mean {mean_e:.6f} | {rate:.0f} submaps/s "
+                  f"({rate / rate_max:.2f}x max)", file=sys.stderr)
+            sweep.append({
+                "t0": t0v, "levels": lv,
+                "cos_min_vs_max": mn_a, "cos_mean_vs_max": mean_a,
+                "cos_min_vs_exact": mn_e, "cos_mean_vs_exact": mean_e,
+                "rate": rate, "speedup_vs_max": rate / rate_max,
+            })
     results["gates"]["t0_sweep"] = sweep
 
     # --- gate B: degenerate inputs at the default t0 ---------------------

@@ -239,3 +239,100 @@ def test_lse_shape_mismatch_raises(rng):
     vals = jnp.zeros((1, 32, 4))
     with pytest.raises(ValueError, match="disagree"):
         knn_lse_aggregate(pts, vals, 4)
+
+
+def test_lse_halo_outlier_overflow_no_nan(rng):
+    """Round-4 NaN regression (docs/PERF_LOG.md): an unmasked halo
+    candidate ABOVE the masked-union anchor used to overflow exp
+    (0 * inf = NaN in the mask matmul) and poisoned flagship training
+    from step 1. The exponent clamp must keep forward AND gradients
+    finite, and the untouched rows must still track the hard max."""
+    b, n, c, k = 1, 256, 8, 4
+    pts = np.zeros((b, n, 3), np.float32)
+    # Jittered line: no exact distance ties, so the mask's d <= kth set
+    # equals the gather oracle's k indices on every row.
+    pts[0, :, 0] = np.arange(n) + 0.05 * rng.randn(n).astype(np.float32)
+    # Index 140 is a halo candidate of the rows-64..127 block (block=64,
+    # window=32 -> candidates [32, 160)) but FAR from every point, so no
+    # row masks it and it stays outside the anchor union.
+    pts[0, 140, 0] = 1e6
+    vals = rng.randn(b, n, c).astype(np.float32)
+    vals[0, 140, :] = 50.0  # >> anchor + 88 * std / t0
+
+    out = knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=24.0, block=64, window=32
+    )
+    assert bool(jnp.isfinite(out).all())
+
+    g = jax.grad(
+        lambda v: jnp.sum(
+            knn_lse_aggregate(
+                jnp.asarray(pts), v, k, t0=24.0, block=64, window=32
+            )
+            ** 2
+        )
+    )(jnp.asarray(vals))
+    assert bool(jnp.isfinite(g).all())
+
+    # Rows far from the outlier still agree with the hard-max oracle
+    # (the outlier inflates std -> looser smooth-max bias, so compare
+    # with the bias bound, not exact equality).
+    hard = _hard_max(pts, vals, k)
+    sm = np.asarray(out)
+    rows = slice(0, 128)  # the outlier is never a neighbour here
+    std = vals.std(axis=1, keepdims=True)
+    err = (sm[:, rows] - hard[:, rows]) / np.maximum(std, 1e-6)
+    assert err.min() > -1e-3, err.min()
+    assert err.max() < 0.35, err.max()
+
+
+def test_lse_levels_extend_underflow_horizon(rng):
+    """A row whose whole neighbourhood sits ~190 exponent units below the
+    block anchor clamps at levels=2 (horizon ~151) but is recovered at
+    levels=3 (horizon ~215)."""
+    b, n, c, k = 1, 64, 4, 4
+    d_val = 10.0
+    pts = np.zeros((b, n, 3), np.float32)
+    pts[0, :, 0] = np.arange(n)
+    vals = (0.001 * rng.randn(b, n, c)).astype(np.float32)
+    vals[0, 0, :] = d_val  # in the union (self-match) -> anchor = d_val
+    # std ~ d_val * 0.124 -> z for far rows ~ -t0 / 0.124 ~ -193
+    pts_j, vals_j = jnp.asarray(pts), jnp.asarray(vals)
+
+    far = slice(10, n)  # rows whose kNN never includes point 0
+    out2 = np.asarray(
+        knn_lse_aggregate(pts_j, vals_j, k, t0=24.0, block=n, levels=2)
+    )
+    out3 = np.asarray(
+        knn_lse_aggregate(pts_j, vals_j, k, t0=24.0, block=n, levels=3)
+    )
+    assert bool(np.isfinite(out2).all()) and bool(np.isfinite(out3).all())
+    # levels=2: clamped at anchor - 151/t ~ 0.22 * d_val, far above truth.
+    assert out2[0, far].min() > 0.1 * d_val, out2[0, far].min()
+    # levels=3: the true neighbourhood max is ~0.
+    assert np.abs(out3[0, far]).max() < 0.02 * d_val, np.abs(out3[0, far]).max()
+
+
+def test_lse_single_level_matches_on_gentle_values(rng):
+    """levels=1 matches levels=2 while every value stays inside level
+    1's ~87-unit horizon: at t0=12 the horizon is 87/12 ~ 7.2 std and a
+    uniform cloud spans only sqrt(12) ~ 3.5 std (z is scale-invariant,
+    so only t0 — not the value scale — controls the margin)."""
+    b, n, c, k = 1, 128, 6, 5
+    pts, vals = _cloud(rng, b, n, c, uniform=True)
+    one = knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=12.0, exact=True,
+        block=n, levels=1,
+    )
+    two = knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=12.0, exact=True,
+        block=n, levels=2,
+    )
+    np.testing.assert_allclose(np.asarray(one), np.asarray(two), atol=2e-5)
+
+
+def test_lse_rejects_bad_levels():
+    pts = jnp.zeros((1, 32, 3))
+    vals = jnp.zeros((1, 32, 4))
+    with pytest.raises(ValueError, match="levels"):
+        knn_lse_aggregate(pts, vals, 4, levels=0)
