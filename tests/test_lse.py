@@ -206,10 +206,15 @@ def test_model_lse_descriptor_close_to_max(rng):
 
 def test_model_lse_trains(rng):
     """One train-mode apply with gradients: the LSE path is differentiable
-    end to end and produces finite grads + batch-stats updates."""
-    cfg = _lpd_cfg(aggregation="lse")
+    end to end and produces finite grads + batch-stats updates. (Tiny
+    shapes: this guards differentiability/wiring; numerical-hazard grads
+    are covered op-level by the halo-outlier test above.)"""
+    cfg = _lpd_cfg(
+        aggregation="lse", num_points=96, graph_k=4, feature_dim=32,
+        features=FeatureConfig(k=4, knn_block=32),
+    )
     model, variables = init_model(cfg, jax.random.key(0), batch_size=2)
-    pts, _ = _cloud(rng, 2, 192, 1)
+    pts, _ = _cloud(rng, 2, 96, 1)
     x = jnp.asarray(pts)
 
     def loss_fn(params):

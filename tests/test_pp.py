@@ -157,7 +157,12 @@ def test_pp_embed_rejects_width_mismatch(bits):
     assert plan13.in_widths[0] == 13
 
 
-@pytest.mark.parametrize("stages,micro", [(4, 2), (2, 4), (1, 8), (3, 1)])
+@pytest.mark.parametrize("stages,micro", [
+    (4, 2),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+    pytest.param(1, 8, marks=pytest.mark.slow),
+    (3, 1),
+])
 def test_pp_embed_matches_full_model(bits, stages, micro):
     cfg, model, variables, pts = bits
     ref = model.apply(variables, pts, train=False)

@@ -72,6 +72,7 @@ def test_identical_submap_is_top1(bits):
     np.testing.assert_allclose(sqd[:, 0], 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_serve_cli_build_and_query(tmp_path):
     """The serving CLI end-to-end as a subprocess: save a config, build an
     index from a directory of .bin submaps, query with two of them — each

@@ -121,7 +121,10 @@ def test_sp_embed_rejects_wrong_point_count(rng):
         fn(jnp.zeros((1, 2 * N, 3)))  # silently truncating this is a bug
 
 
-@pytest.mark.parametrize("data,points", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("data,points", [
+    pytest.param(2, 4, marks=pytest.mark.slow),
+    (4, 2),
+])
 def test_dp_sp_embed_matches_single_device(rng, data, points):
     """DPxSP (2-D (data, points) mesh): the batch shards over D
     point-parallel groups, each SP-sharding its rows — every descriptor

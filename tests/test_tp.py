@@ -123,6 +123,7 @@ def test_tp_step_matches_single_device():
     assert hid.addressable_shards[0].data.shape[0] == hid.shape[0] // 4
 
 
+@pytest.mark.slow
 def test_tp_step_trains():
     _, model, state, cfg_t, batch = make_bits()
     mesh = make_mesh_2d(2, 4)

@@ -201,6 +201,7 @@ def test_checkpoint_resume_roundtrip(dataset, tmp_path):
     assert int(s2.step) > int(s1.step)
 
 
+@pytest.mark.slow
 def test_checkpoint_interchange_max_lse(dataset, tmp_path):
     """Aggregation modes share parameters (models/lpdnet.py EdgeConv:
     agg_fn changes the compute, not the param tree), so checkpoints are

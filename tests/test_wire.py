@@ -39,6 +39,7 @@ def test_float_paths_passthrough(rng):
     assert np.asarray(decode_points(pts)).dtype == np.float32
 
 
+@pytest.mark.slow
 def test_embed_descriptor_neutrality_int16(rng):
     """Descriptors from the int16 wire must match the f32 path to high
     cosine — the decode precedes all compute (VERDICT round-2 item 4:
