@@ -112,15 +112,23 @@ class ModelConfig:
     # (1024), the approx_min_k sweet spot (docs/PERF_LOG.md sweep).
     knn_window: Optional[int] = 256
     # LPD trunk neighbour aggregation (ops/lse.py):
+    #   'auto' — (default since round 4) resolves to 'lse' for the LPD
+    #     trunk and 'max' (inert) for aggregation-free trunks; read the
+    #     resolved value via ``resolved_aggregation``.
     #   'max' — select indices + gather + hard max (Pallas slab kernel on
-    #     the hot path); the reference's literal semantics.
+    #     the hot path); the reference's literal semantics. The escape
+    #     hatch for parity work and degenerate-geometry inputs (see the
+    #     tie-explosion caveat in docs/PERF_LOG.md round 4).
     #   'lse' — gather-free smooth max: the selection's k-th distance masks
     #     the SAME distance tile and the aggregation becomes a masked
     #     log-sum-exp matmul on the MXU (backward = matmuls too, no custom
-    #     VJP). Smooth-max bias <= ~log(k)*std_c/lse_t0 per channel;
-    #     descriptor-level fidelity is measured in tests/test_lse.py and
-    #     docs/PERF_LOG.md. Requires edge_bn_placement='post'.
-    aggregation: str = "max"
+    #     VJP) — measured 2.7x inference / 1.7x train / 2.2x eval
+    #     end-to-end over 'max' at flagship scale (docs/PERF_LOG.md round
+    #     4, with the fidelity gates: flagship rehearsal converges,
+    #     768-query retrieval audit at exact-oracle parity). Smooth-max
+    #     bias <= ~log(k)*std_c/lse_t0 per channel. Requires
+    #     edge_bn_placement='post'.
+    aggregation: str = "auto"
     # Dimensionless LSE sharpness: effective temperature t0/std_c per
     # submap channel. Larger = closer to hard max, but values more than
     # ~(87 + (lse_levels-1)*64)*std_c/t0 below their block-window anchor
@@ -133,9 +141,9 @@ class ModelConfig:
     lse_levels: int = 2
 
     def __post_init__(self):
-        if self.aggregation not in ("max", "lse"):
+        if self.aggregation not in ("auto", "max", "lse"):
             raise ValueError(
-                f"model.aggregation must be 'max' or 'lse', got "
+                f"model.aggregation must be 'auto', 'max' or 'lse', got "
                 f"{self.aggregation!r}"
             )
         if self.lse_levels < 1:
@@ -157,6 +165,20 @@ class ModelConfig:
         if self.trunk == "lpdnet" and self.compute_features_on_device:
             return 3 + 10
         return self.input_dim
+
+    @property
+    def resolved_aggregation(self) -> str:
+        """The concrete aggregation mode: 'auto' resolves per trunk at
+        READ time (not construction), so trunk changes via presets /
+        --trunk / --set keep the right default; explicit 'max'/'lse'
+        always win. The 'edge' BN placement (the torch-parity path,
+        which needs the per-edge tensor LSE never materializes) also
+        resolves 'auto' to 'max'."""
+        if self.aggregation != "auto":
+            return self.aggregation
+        if self.trunk != "lpdnet" or self.edge_bn_placement == "edge":
+            return "max"
+        return "lse"
 
 
 @dataclass(frozen=True)

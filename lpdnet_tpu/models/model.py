@@ -92,7 +92,7 @@ class DescriptorNet(nn.Module):
                 recall_target=cfg.features.recall_target,
                 exact_knn=cfg.exact_knn,
                 knn_window=window,
-                aggregation=cfg.aggregation,
+                aggregation=cfg.resolved_aggregation,
                 lse_t0=cfg.lse_t0,
                 lse_levels=cfg.lse_levels,
                 name="trunk",

@@ -147,7 +147,7 @@ class _SpatialUnit(nn.Module):
             list(LPDNetFeat.pre_widths), relu_last=True, dtype=dtype,
             name="pre",
         )(x, train=train)
-        if cfg.aggregation == "lse":
+        if cfg.resolved_aggregation == "lse":
             return EdgeConv(
                 LPDNetFeat.spatial_width, dtype=dtype,
                 bn_placement=cfg.edge_bn_placement, name="edge_spatial",
@@ -174,7 +174,7 @@ class _FeatureUnit(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
-        if cfg.aggregation == "lse":
+        if cfg.resolved_aggregation == "lse":
             return EdgeConv(
                 LPDNetFeat.feature_width, dtype=jnp.dtype(cfg.compute_dtype),
                 bn_placement=cfg.edge_bn_placement, name="edge_feature",

@@ -172,7 +172,7 @@ def make_sp_embed_fn(
         recall_target=cfg.features.recall_target,
         exact_knn=cfg.exact_knn,
         knn_window=None,
-        aggregation=cfg.aggregation,
+        aggregation=cfg.resolved_aggregation,
         lse_t0=cfg.lse_t0,
         lse_levels=cfg.lse_levels,
     )
@@ -198,7 +198,7 @@ def make_sp_embed_fn(
         x13 = jnp.concatenate([pts.astype(jnp.float32), feats], axis=-1)
         idx_xyz = idx if cfg.features.k == cfg.graph_k else None
         lse_std_fn = None
-        if cfg.aggregation == "lse":
+        if cfg.resolved_aggregation == "lse":
             # The LSE temperature is a whole-submap channel statistic
             # (ops/lse.py): each shard holds only its window rows, so the
             # std comes from a psum of CENTER-row moments (halo rows are
