@@ -46,6 +46,7 @@ def make_lse_agg(
     dist_dtype: str,
     std_fn=None,
     levels: int = 2,
+    kth=None,
 ):
     """Build the gather-free LSE ``agg_fn`` for one EdgeConv (ops/lse.py).
 
@@ -60,9 +61,30 @@ def make_lse_agg(
         return knn_lse_aggregate(
             space, values, k, t0=t0, block=block, window=window,
             recall_target=recall_target, exact=exact,
-            dist_dtype=dist_dtype, std=std, levels=levels,
+            dist_dtype=dist_dtype, std=std, levels=levels, kth=kth,
         )
     return agg
+
+
+def lse_reuse_kth(cfg) -> bool:
+    """Shared policy (monolithic / PP stages / SP shards must agree, or
+    staged-vs-monolithic parity breaks): the spatial LSE graph reuses the
+    feature stage's k-th distance when the graphs coincide (same k) AND
+    the stages round distances identically — the feature stage always
+    masks bf16 distances on the approx path, so reuse needs the trunk's
+    dist_dtype to be bf16 too (bf16 compute) or both to be exact-f32."""
+    import jax.numpy as _jnp
+
+    return (
+        cfg.resolved_aggregation == "lse"
+        and cfg.compute_features_on_device
+        and cfg.features.k == cfg.graph_k
+        and not cfg.features.fused_stats
+        and (
+            cfg.exact_knn
+            or _jnp.dtype(cfg.compute_dtype) == _jnp.bfloat16
+        )
+    )
 
 
 class EdgeConv(nn.Module):
@@ -204,6 +226,7 @@ class LPDNetFeat(nn.Module):
         train: bool = False,
         idx_xyz: jnp.ndarray | None = None,
         lse_std_fn=None,
+        lse_kth_xyz: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         # ``lse_std_fn`` (call-time, optional): values -> (B, 1, C) std
         # override for the LSE temperature — point-parallel callers
@@ -221,18 +244,21 @@ class LPDNetFeat(nn.Module):
         if self.aggregation == "lse":
             # Gather-free path: EdgeConv aggregates via the masked-LSE
             # matmul closed over the graph's metric space; no index lists.
-            def lse_over(space):
+            def lse_over(space, kth=None):
                 return make_lse_agg(
                     space, k=self.k, t0=self.lse_t0,
                     block=self.knn_block, window=self.knn_window,
                     recall_target=self.recall_target, exact=self.exact_knn,
                     dist_dtype=dist_dtype, std_fn=lse_std_fn,
-                    levels=self.lse_levels,
+                    levels=self.lse_levels, kth=kth,
                 )
+            # ``lse_kth_xyz``: the caller's feature stage already scanned
+            # the xyz space — its k-th distance re-masks the SAME metric
+            # here and the spatial graph skips its own selection.
             h = EdgeConv(
                 self.spatial_width, dtype=self.dtype,
                 bn_placement=self.edge_bn_placement, name="edge_spatial",
-            )(h, None, train=train, agg_fn=lse_over(xyz))
+            )(h, None, train=train, agg_fn=lse_over(xyz, kth=lse_kth_xyz))
             h = EdgeConv(
                 self.feature_width, dtype=self.dtype,
                 bn_placement=self.edge_bn_placement, name="edge_feature",

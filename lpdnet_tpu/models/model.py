@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from lpdnet_tpu.configs import ModelConfig
-from lpdnet_tpu.models.lpdnet import LPDNetFeat
+from lpdnet_tpu.models.lpdnet import LPDNetFeat, lse_reuse_kth
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
 from lpdnet_tpu.models.pointnet import PointNetFeat
 from lpdnet_tpu.ops.features import eigen_features_and_knn
@@ -65,11 +65,14 @@ class DescriptorNet(nn.Module):
             if window is not None:
                 x = morton_sort(x)
             idx_xyz = None
+            kth_xyz = None
             if cfg.compute_features_on_device and x.shape[-1] == 3:
                 # Fused feature stage: masked-moment features + the xyz kNN
                 # graph from one distance pass; the graph is reused as the
-                # trunk's Cartesian graph when the k's line up.
-                feats, idx = eigen_features_and_knn(
+                # trunk's Cartesian graph when the k's line up ('max':
+                # the index list; 'lse': the k-th-distance threshold).
+                reuse_kth = lse_reuse_kth(cfg)
+                out = eigen_features_and_knn(
                     x,
                     cfg.features.k,
                     eps=cfg.features.eps,
@@ -78,7 +81,11 @@ class DescriptorNet(nn.Module):
                     fused_stats=cfg.features.fused_stats,
                     exact=cfg.exact_knn,
                     window=window,
+                    return_kth=reuse_kth,
                 )
+                feats, idx = out[0], out[1]
+                if reuse_kth:
+                    kth_xyz = out[2]
                 x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
                 if cfg.features.k == cfg.graph_k:
                     idx_xyz = idx
@@ -96,7 +103,7 @@ class DescriptorNet(nn.Module):
                 lse_t0=cfg.lse_t0,
                 lse_levels=cfg.lse_levels,
                 name="trunk",
-            )(x, train=train, idx_xyz=idx_xyz)
+            )(x, train=train, idx_xyz=idx_xyz, lse_kth_xyz=kth_xyz)
         elif cfg.trunk == "pointnetvlad":
             trunk_out = PointNetFeat(
                 feature_dim=cfg.feature_dim,

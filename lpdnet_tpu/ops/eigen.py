@@ -127,10 +127,19 @@ def smallest_eigvec_sym3x3(
     c01 = jnp.cross(r0, r1)
     c02 = jnp.cross(r0, r2)
     c12 = jnp.cross(r1, r2)
-    cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3, 3)
-    norms = jnp.sum(cands * cands, axis=-1)  # (..., 3)
-    best = jnp.argmax(norms, axis=-1)
-    vec = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    # Pick the largest-norm candidate with a where-chain, NOT
+    # argmax+take_along_axis: the gather lowering cost 1.49 ms/iter (9% of
+    # the flagship forward — round-4 trace, docs/PERF_LOG.md) while the
+    # selects fuse into the surrounding elementwise fusion for free. Tie
+    # order matches argmax (first max wins).
+    n0 = jnp.sum(c01 * c01, axis=-1)
+    n1 = jnp.sum(c02 * c02, axis=-1)
+    n2 = jnp.sum(c12 * c12, axis=-1)
+    use0 = (n0 >= n1) & (n0 >= n2)
+    use1 = n1 >= n2
+    vec = jnp.where(
+        use0[..., None], c01, jnp.where(use1[..., None], c02, c12)
+    )
     nrm = jnp.sum(vec * vec, axis=-1, keepdims=True)
     fallback = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], dtype=a.dtype), vec.shape

@@ -121,6 +121,7 @@ def _cov_from_moment_sums(sums: jnp.ndarray, cnt: jnp.ndarray):
     jax.jit,
     static_argnames=(
         "k", "block", "exact", "recall_target", "fused_stats", "window",
+        "return_kth",
     ),
 )
 def eigen_features_and_knn(
@@ -133,7 +134,8 @@ def eigen_features_and_knn(
     recall_target: float = 0.95,
     fused_stats: bool = False,
     window: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_kth: bool = False,
+):
     """Gather-free feature stage + the xyz kNN graph in ONE pass.
 
     TPU-native formulation (SURVEY §7 "Hard parts"): instead of gathering
@@ -160,7 +162,10 @@ def eigen_features_and_knn(
     HBM-bound on exactly those buffers.
 
     Returns:
-      (features (B, N, 10) float32, idx (B, N, k) int32).
+      (features (B, N, 10) float32, idx (B, N, k) int32), plus the k-th
+      squared distance (B, N) float32 (the mask threshold this stage
+      used) when ``return_kth`` — the LSE spatial graph reuses it to
+      skip its own selection (ops/lse.py ``kth=``).
     """
     pts = points.astype(jnp.float32)
     b, n, _ = pts.shape
@@ -237,6 +242,8 @@ def eigen_features_and_knn(
         cov, czz = _cov_from_moment_sums(sums, cnt)
         r_k = jnp.sqrt(jnp.maximum(kth.astype(jnp.float32), 0.0))
         feats = _features_from_stats(cov, z_max, z_min, czz, r_k, k, eps)
+        if return_kth:
+            return feats, idx, kth32
         return feats, idx
 
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
@@ -283,11 +290,17 @@ def eigen_features_and_knn(
         feats = _features_from_stats(
             cov, z_max, z_min, czz, r_k, k, eps,
         )
-        return carry, (feats, (idx + lo).astype(jnp.int32))
+        return carry, (
+            feats, (idx + lo).astype(jnp.int32),
+            kth[..., 0].astype(jnp.float32),
+        )
 
-    _, (feats, idx) = jax.lax.scan(scan_body, None, (q_tiles, los))
+    _, (feats, idx, kths) = jax.lax.scan(scan_body, None, (q_tiles, los))
     feats = feats.transpose(1, 0, 2, 3).reshape(b, n_pad, 10)[:, :n]
     idx = idx.transpose(1, 0, 2, 3).reshape(b, n_pad, k)[:, :n]
+    if return_kth:
+        kths = kths.transpose(1, 0, 2).reshape(b, n_pad)[:, :n]
+        return feats, idx, kths
     return feats, idx
 
 

@@ -110,6 +110,7 @@ def knn_lse_aggregate(
     dist_dtype: str = "float32",
     std: Optional[jnp.ndarray] = None,
     levels: int = 2,
+    kth: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Smooth ``max_{j in knn(i)} values[j]`` over a self-graph, gather-free.
 
@@ -134,6 +135,14 @@ def knn_lse_aggregate(
         horizon by ``_SHIFT`` exponent units (``~_SHIFT * std_c / t0``
         in value space); rows whose whole neighbourhood sits below the
         last level's horizon clamp (bounded by the self-value floor).
+      kth: optional (B, N) per-row squared-distance mask threshold. When
+        given, the selection (``approx_min_k`` / ``top_k``) is SKIPPED
+        entirely and the mask is ``d <= kth`` — the caller reuses a
+        threshold an earlier scan over the SAME metric space already
+        computed (the feature stage's, ``ops/features.py
+        eigen_features_and_knn(return_kth=True)``). The threshold must
+        come from distances computed at this op's ``dist_dtype``
+        rounding, or the mask can drop true neighbours at the boundary.
 
     Returns:
       (B, N, C) aggregated values, in ``values.dtype``.
@@ -146,6 +155,10 @@ def knn_lse_aggregate(
         )
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
+    if kth is not None and kth.shape != (b, n):
+        raise ValueError(
+            f"kth shape {kth.shape} != {(b, n)} (per-row threshold)"
+        )
     sp = space.astype(jnp.float32)
     vals = values.astype(jnp.float32)
 
@@ -166,6 +179,14 @@ def knn_lse_aggregate(
     num_blocks = n_pad // block
     q_pad = jnp.pad(sp, ((0, 0), (0, n_pad - n), (0, 0)))
     q_tiles = q_pad.reshape(b, num_blocks, block, -1).transpose(1, 0, 2, 3)
+    if kth is not None:
+        # Padded rows get threshold -1: they mask nothing, so they cannot
+        # join the anchor union (their outputs are sliced off anyway).
+        kth_pad = jnp.pad(
+            kth.astype(jnp.float32), ((0, 0), (0, n_pad - n)),
+            constant_values=-1.0,
+        )
+        kth_tiles = kth_pad.reshape(b, num_blocks, block).transpose(1, 0, 2)
     if exclude_self:
         base = jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 0) * block
         row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (num_blocks, block), 1)
@@ -192,8 +213,13 @@ def knn_lse_aggregate(
     mm_dtype = jnp.float32 if exact else jnp.bfloat16
     tiny = float(np.finfo(np.float32).tiny)
 
+    use_kth = kth is not None
+
     def scan_body(carry, tile):
-        q_tile, rows, lo = tile  # (B, block, Cs), (block,), ()
+        if use_kth:
+            q_tile, rows, lo, kth_rows = tile
+        else:
+            q_tile, rows, lo = tile  # (B, block, Cs), (block,), ()
         cand = (
             sp if window is None
             else jax.lax.dynamic_slice_in_dim(sp, lo, win_n, axis=1)
@@ -205,13 +231,18 @@ def knn_lse_aggregate(
         d = pairwise_sqdist(q_tile, cand)  # (B, block, win_n)
         if exclude_self:
             d = jnp.where(col_ids + lo == rows[None, :, None], jnp.inf, d)
-        if exact:
-            kd = -jax.lax.top_k(-d, k)[0]
+        if use_kth:
+            if not exact:
+                d = d.astype(jnp.dtype(dist_dtype))
+            kth_b = kth_rows[..., None].astype(d.dtype)  # (B, block, 1)
+        elif exact:
+            kth_b = -jax.lax.top_k(-d, k)[0][..., -1:]
         else:
             d = d.astype(jnp.dtype(dist_dtype))
-            kd = jax.lax.approx_min_k(d, k, recall_target=recall_target)[0]
-        kth = kd[..., -1:]  # (B, block, 1)
-        m_bool = jax.lax.stop_gradient(d <= kth)  # (B, block, win_n)
+            kth_b = jax.lax.approx_min_k(
+                d, k, recall_target=recall_target
+            )[0][..., -1:]
+        m_bool = jax.lax.stop_gradient(d <= kth_b)  # (B, block, win_n)
         mask = m_bool.astype(mm_dtype)
         # Per-(block, channel) anchor over the UNION of the block's masked
         # candidates: the tightest per-block upper bound of every
@@ -271,9 +302,11 @@ def knn_lse_aggregate(
         out = anchor + log_s / t  # (B, block, C)
         return carry, out
 
-    _, out = jax.lax.scan(
-        scan_body, None, (q_tiles, row_ids, jnp.asarray(los))
+    xs = (
+        (q_tiles, row_ids, jnp.asarray(los), kth_tiles)
+        if use_kth else (q_tiles, row_ids, jnp.asarray(los))
     )
+    _, out = jax.lax.scan(scan_body, None, xs)
     out = out.transpose(1, 0, 2, 3).reshape(b, n_pad, c)[:, :n]
     if not exclude_self:
         # The self-match is in every mask, so LSE >= the row's own value

@@ -73,7 +73,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lpdnet_tpu.configs import LossConfig, ModelConfig, TrainConfig
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.models.lpdnet import (
-    EdgeConv, LPDNetFeat, knn_dist_dtype, make_lse_agg,
+    EdgeConv, LPDNetFeat, knn_dist_dtype, lse_reuse_kth, make_lse_agg,
 )
 from lpdnet_tpu.models.model import knn_window_policy, use_pallas_gather
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
@@ -94,7 +94,7 @@ def _dist_dtype(cfg: ModelConfig) -> str:
     return knn_dist_dtype(cfg.compute_dtype)
 
 
-def _lse_agg(cfg: ModelConfig, space):
+def _lse_agg(cfg: ModelConfig, space, kth=None):
     """The gather-free LSE aggregator for one EdgeConv, parameterized
     exactly as DescriptorNet parameterizes LPDNetFeat (models/model.py) —
     stages must aggregate identically to the monolithic trunk
@@ -103,7 +103,7 @@ def _lse_agg(cfg: ModelConfig, space):
         space, k=cfg.graph_k, t0=cfg.lse_t0, levels=cfg.lse_levels,
         block=cfg.features.knn_block, window=_window(cfg),
         recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
-        dist_dtype=_dist_dtype(cfg),
+        dist_dtype=_dist_dtype(cfg), kth=kth,
     )
 
 
@@ -128,8 +128,10 @@ class _SpatialUnit(nn.Module):
         if window is not None:
             x = morton_sort(x)
         idx_xyz = None
+        kth_xyz = None
         if cfg.compute_features_on_device and x.shape[-1] == 3:
-            feats, idx = eigen_features_and_knn(
+            reuse_kth = lse_reuse_kth(cfg)
+            out = eigen_features_and_knn(
                 x,
                 cfg.features.k,
                 eps=cfg.features.eps,
@@ -138,7 +140,11 @@ class _SpatialUnit(nn.Module):
                 fused_stats=cfg.features.fused_stats,
                 exact=cfg.exact_knn,
                 window=window,
+                return_kth=reuse_kth,
             )
+            feats, idx = out[0], out[1]
+            if reuse_kth:
+                kth_xyz = out[2]
             x = jnp.concatenate([x.astype(jnp.float32), feats], axis=-1)
             if cfg.features.k == cfg.graph_k:
                 idx_xyz = idx
@@ -151,7 +157,7 @@ class _SpatialUnit(nn.Module):
             return EdgeConv(
                 LPDNetFeat.spatial_width, dtype=dtype,
                 bn_placement=cfg.edge_bn_placement, name="edge_spatial",
-            )(h, None, train=train, agg_fn=_lse_agg(cfg, xyz))
+            )(h, None, train=train, agg_fn=_lse_agg(cfg, xyz, kth=kth_xyz))
         if idx_xyz is None:
             idx_xyz = knn_indices(
                 xyz, cfg.graph_k, block=cfg.features.knn_block,

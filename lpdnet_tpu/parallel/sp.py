@@ -51,7 +51,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lpdnet_tpu.configs import ModelConfig
-from lpdnet_tpu.models.lpdnet import LPDNetFeat
+from lpdnet_tpu.models.lpdnet import LPDNetFeat, lse_reuse_kth
 from lpdnet_tpu.ops.features import eigen_features_and_knn
 from lpdnet_tpu.ops.morton import morton_sort
 from lpdnet_tpu.ops.netvlad import netvlad_finalize, netvlad_partial
@@ -191,10 +191,14 @@ def make_sp_embed_fn(
     def device_fn(pts_win, off):
         # pts_win: (1, B, win, 3) this device's window; off: (1,) center.
         pts = pts_win[0]
-        feats, idx = eigen_features_and_knn(
+        reuse_kth = lse_reuse_kth(cfg)
+        out = eigen_features_and_knn(
             pts, cfg.features.k, eps=cfg.features.eps, block=win,
             recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
+            return_kth=reuse_kth,
         )
+        feats, idx = out[0], out[1]
+        kth_xyz = out[2] if reuse_kth else None
         x13 = jnp.concatenate([pts.astype(jnp.float32), feats], axis=-1)
         idx_xyz = idx if cfg.features.k == cfg.graph_k else None
         lse_std_fn = None
@@ -215,7 +219,7 @@ def make_sp_embed_fn(
                 return jnp.sqrt(jnp.maximum(ss / n - jnp.square(mean), 0.0))
         h = trunk.apply(
             trunk_vars, x13, train=False, idx_xyz=idx_xyz,
-            lse_std_fn=lse_std_fn,
+            lse_std_fn=lse_std_fn, lse_kth_xyz=kth_xyz,
         )
         center = jax.lax.dynamic_slice_in_dim(h, off[0], block, axis=1)
         center = center.astype(jnp.float32)
