@@ -21,6 +21,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: most of the default lane's wall time
+# is CPU compiles of the same programs run-to-run; caching them is safe
+# (keys are HLO hashes) and cuts warm re-runs well under the 5-min
+# target. Disable with LPDNET_TEST_NO_CACHE=1 to time true cold runs.
+if not os.environ.get("LPDNET_TEST_NO_CACHE"):
+    _cache_dir = os.path.expanduser("~/.cache/lpdnet_tpu_xla_tests")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -191,7 +191,9 @@ def _lpd_cfg(**kw):
 
 
 def test_model_lse_descriptor_close_to_max(rng):
-    cfg_max = _lpd_cfg()
+    # 'auto' resolves to lse since round 4 — the max side must be pinned
+    # or this compares lse to itself.
+    cfg_max = _lpd_cfg(aggregation="max")
     cfg_lse = dataclasses.replace(cfg_max, aggregation="lse", lse_t0=24.0)
     model_max, variables = init_model(cfg_max, jax.random.key(0), batch_size=2)
     model_lse = init_model(cfg_lse, jax.random.key(0), batch_size=2)[0]
@@ -341,3 +343,43 @@ def test_lse_rejects_bad_levels():
     vals = jnp.zeros((1, 32, 4))
     with pytest.raises(ValueError, match="levels"):
         knn_lse_aggregate(pts, vals, 4, levels=0)
+
+
+def test_lse_kth_reuse_matches_internal_selection(rng):
+    """Feeding the feature stage's k-th distance (return_kth) must
+    reproduce the op's own selection exactly: both run the same
+    deterministic top-k over the same distance tiles, so the reused
+    threshold is bitwise the one the op would recompute (the
+    lse_reuse_kth policy's premise)."""
+    from lpdnet_tpu.ops.features import eigen_features_and_knn
+
+    b, n, c, k = 2, 192, 8, 6
+    pts, vals = _cloud(rng, b, n, c, uniform=True)
+    pts_j, vals_j = jnp.asarray(pts), jnp.asarray(vals)
+
+    for exact in (True, False):
+        out = eigen_features_and_knn(
+            pts_j, k, block=64, exact=exact, return_kth=True
+        )
+        kth = out[2]
+        assert kth.shape == (b, n)
+        dd = "float32" if exact else "bfloat16"
+        with_reuse = knn_lse_aggregate(
+            pts_j, vals_j, k, t0=24.0, block=64, exact=exact,
+            dist_dtype=dd, kth=kth,
+        )
+        without = knn_lse_aggregate(
+            pts_j, vals_j, k, t0=24.0, block=64, exact=exact,
+            dist_dtype=dd,
+        )
+        np.testing.assert_allclose(
+            np.asarray(with_reuse), np.asarray(without), atol=2e-5,
+            err_msg=f"exact={exact}",
+        )
+
+
+def test_lse_kth_shape_mismatch_raises():
+    pts = jnp.zeros((1, 64, 3))
+    vals = jnp.zeros((1, 64, 4))
+    with pytest.raises(ValueError, match="kth"):
+        knn_lse_aggregate(pts, vals, 4, kth=jnp.zeros((1, 32)))

@@ -37,10 +37,13 @@ N = 64
 
 
 def tiny_cfg(**kw) -> ModelConfig:
+    # Pin max so the plain staged-parity tests keep covering the gather
+    # path; the *_lse tests override aggregation explicitly ('auto'
+    # resolves to lse since round 4).
     return ModelConfig(
         trunk="lpdnet", num_points=N, feature_dim=64, num_clusters=8,
         output_dim=32, graph_k=6, features=FeatureConfig(k=6, knn_block=64),
-        **kw,
+        **{"aggregation": "max", **kw},
     )
 
 

@@ -22,6 +22,10 @@ def make_cfg(**kw):
         # Matched geometry: single-device block == per-device SP block and
         # the same halo width -> identical candidate windows.
         knn_window=64,
+        # Pin max so the plain parity tests keep covering the gather
+        # path; the *_lse tests pass aggregation='lse' explicitly
+        # ('auto' resolves to lse since round 4).
+        aggregation="max",
         features=FeatureConfig(k=6, knn_block=64),
     )
     base.update(kw)

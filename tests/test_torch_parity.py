@@ -176,6 +176,9 @@ def test_lpd_trunk_descriptor_parity(rng):
     cfg = ModelConfig(
         trunk="lpdnet", num_points=N, feature_dim=64, num_clusters=8,
         output_dim=32, graph_k=6, compute_features_on_device=False,
+        # The torch oracle is the hard-max gather; pin max ('auto'
+        # resolves to lse since round 4).
+        aggregation="max",
         input_dim=13, features=FeatureConfig(k=6, knn_block=64),
     )
     model, variables = init_model(cfg, jax.random.key(3), batch_size=2)

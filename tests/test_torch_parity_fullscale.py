@@ -136,6 +136,9 @@ def test_lpdnet_fullscale_descriptor_parity(rng):
     cfg = ModelConfig(
         trunk="lpdnet", num_points=4096, feature_dim=1024, num_clusters=64,
         output_dim=256, graph_k=20, compute_features_on_device=True,
+        # The torch oracle implements the reference's hard-max gather;
+        # 'auto' resolves to lse since round 4, so pin max here.
+        aggregation="max",
         features=FeatureConfig(k=20, knn_block=1024),
         # Full candidate scans: this test isolates the bf16/selection/mask
         # approximations against the exact torch oracle; the Morton-window
