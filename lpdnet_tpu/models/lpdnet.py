@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lpdnet_tpu.ops.gather import gather_neighbors
@@ -63,6 +64,10 @@ def make_lse_agg(
             recall_target=recall_target, exact=exact,
             dist_dtype=dist_dtype, std=std, levels=levels, kth=kth,
         )
+    # NOT remat'd: jax.checkpoint(agg) measured 1223 -> 1039 submaps/s
+    # on the train bench (docs/PERF_LOG.md round 4) — the backward
+    # recompute does not fuse block-locally on this backend, so it
+    # doubles scan work without saving the residual traffic it targets.
     return agg
 
 
