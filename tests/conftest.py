@@ -21,15 +21,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent XLA compilation cache: most of the default lane's wall time
-# is CPU compiles of the same programs run-to-run; caching them is safe
-# (keys are HLO hashes) and cuts warm re-runs well under the 5-min
-# target. Disable with LPDNET_TEST_NO_CACHE=1 to time true cold runs.
-if not os.environ.get("LPDNET_TEST_NO_CACHE"):
-    _cache_dir = os.path.expanduser("~/.cache/lpdnet_tpu_xla_tests")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: a persistent XLA compilation cache was tried here (round 4) and
+# REVERTED: XLA:CPU AOT cache entries record compile-machine features
+# (prefer-no-scatter/gather) that fail the load-time host check and warn
+# about potential SIGILL — a correctness risk no test-lane speedup is
+# worth. Warm-lane timing relies on the slow-mark split instead.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
