@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from lpdnet_tpu.ops.gather import gather_neighbors
@@ -75,11 +74,12 @@ def lse_reuse_kth(cfg) -> bool:
     """Shared policy (monolithic / PP stages / SP shards must agree, or
     staged-vs-monolithic parity breaks): the spatial LSE graph reuses the
     feature stage's k-th distance when the graphs coincide (same k) AND
-    the stages round distances identically — the feature stage always
+    the stages round distances compatibly — the feature stage always
     masks bf16 distances on the approx path, so reuse needs the trunk's
-    dist_dtype to be bf16 too (bf16 compute) or both to be exact-f32."""
-    import jax.numpy as _jnp
-
+    dist_dtype to be bf16 too (bf16 compute) or both to be exact-f32.
+    Exact thresholds match the internal selection bitwise; approx ones
+    are ulp-inflated inside ops/lse.py (near-superset mask — XLA can
+    round the two programs' bf16 tiles apart by ~1 ulp)."""
     return (
         cfg.resolved_aggregation == "lse"
         and cfg.compute_features_on_device
@@ -87,7 +87,7 @@ def lse_reuse_kth(cfg) -> bool:
         and not cfg.features.fused_stats
         and (
             cfg.exact_knn
-            or _jnp.dtype(cfg.compute_dtype) == _jnp.bfloat16
+            or jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
         )
     )
 

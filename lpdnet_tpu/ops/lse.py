@@ -140,9 +140,12 @@ def knn_lse_aggregate(
         entirely and the mask is ``d <= kth`` — the caller reuses a
         threshold an earlier scan over the SAME metric space already
         computed (the feature stage's, ``ops/features.py
-        eigen_features_and_knn(return_kth=True)``). The threshold must
-        come from distances computed at this op's ``dist_dtype``
-        rounding, or the mask can drop true neighbours at the boundary.
+        eigen_features_and_knn(return_kth=True)``). On the approx path
+        the threshold is inflated by 2 bf16 ulps before masking: the two
+        programs' bf16 distance tiles can round differently, and the
+        inflation turns boundary divergence into a near-superset mask
+        (extra near-ties) instead of dropped true neighbours. Exact-f32
+        thresholds are used as-is (bitwise match).
 
     Returns:
       (B, N, C) aggregated values, in ``values.dtype``.
@@ -234,6 +237,16 @@ def knn_lse_aggregate(
         if use_kth:
             if not exact:
                 d = d.astype(jnp.dtype(dist_dtype))
+                # The caller's threshold came from ITS OWN distance tile;
+                # XLA may fuse/round the two programs' bf16 tiles
+                # differently (measured on TPU: up to ~1 ulp divergence
+                # each way), so inflate by 2 bf16 ulps — the mask becomes
+                # a guaranteed near-superset of the internal selection's
+                # (extra near-tie candidates only; the same approximation
+                # class as recall_target misses) instead of randomly
+                # dropping boundary neighbours. The exact-f32 path
+                # matches bitwise and needs no margin.
+                kth_rows = kth_rows * (1.0 + 2.0 ** -6)
             kth_b = kth_rows[..., None].astype(d.dtype)  # (B, block, 1)
         elif exact:
             kth_b = -jax.lax.top_k(-d, k)[0][..., -1:]

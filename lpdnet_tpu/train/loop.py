@@ -514,13 +514,13 @@ def train(
                 bi = seg_start + off
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
-                if not first_step_timed:
+                t_first = time.perf_counter() if not first_step_timed else None
+                state, loss = train_step(state, batch)
+                if t_first is not None:
                     # Surface cold XLA compiles loudly (VERDICT round-3
                     # weak 5): the first (shape, config) compile of a
                     # train step can take minutes on some backends; warm
                     # starts hit the persistent cache (utils/cache.py).
-                    t_first = time.perf_counter()
-                    state, loss = train_step(state, batch)
                     jax.block_until_ready(loss)
                     dt_first = time.perf_counter() - t_first
                     if dt_first > 30:
@@ -532,8 +532,6 @@ def train(
                             flush=True,
                         )
                     first_step_timed = True
-                else:
-                    state, loss = train_step(state, batch)
                 try:
                     # The epoch-end mean fetches every step's scalar; on
                     # the tunneled backend each blocking fetch costs a

@@ -57,9 +57,16 @@ def main():
         if cfg is None:
             raise SystemExit(f"no config.json under {log_dir}")
         if world is None:
+            world_points = cfg.model.num_points
             world = make_synthetic_dataset(
                 num_places=args.places, submaps_per_place=8,
-                num_points=cfg.model.num_points, num_runs=args.runs,
+                num_points=world_points, num_runs=args.runs,
+            )
+        elif cfg.model.num_points != world_points:
+            raise SystemExit(
+                f"{log_dir}: num_points={cfg.model.num_points} != the "
+                f"world's {world_points} (built from the first pair) — "
+                "A/B pairs must share num_points"
             )
         mcfg = cfg.model
         if agg == "exact":

@@ -207,8 +207,6 @@ def test_sp_embed_lse_matches_single_device_flagship_scale(rng):
     windows — different anchor unions shift the smooth-max tails by a
     few 1e-3 (measured 0.9958 on this seed). Temperature matches exactly
     (psum'd global std)."""
-    import dataclasses as _dc
-
     cfg = ModelConfig(
         trunk="lpdnet", num_points=4096, feature_dim=1024, num_clusters=64,
         output_dim=256, graph_k=20, compute_dtype="float32",
