@@ -451,11 +451,15 @@ def main():
                     help="override ModelConfig.aggregation (LPD trunk)")
     ap.add_argument("--lse_t0", type=float, default=None,
                     help="override ModelConfig.lse_t0")
+    ap.add_argument("--lse_levels", type=int, default=None,
+                    help="override ModelConfig.lse_levels (anchor levels)")
     args = ap.parse_args()
     if args.agg is not None:
         _MODEL_OVERRIDES["aggregation"] = args.agg
     if args.lse_t0 is not None:
         _MODEL_OVERRIDES["lse_t0"] = args.lse_t0
+    if args.lse_levels is not None:
+        _MODEL_OVERRIDES["lse_levels"] = args.lse_levels
 
     _wait_for_backend()
     enable_compilation_cache()
