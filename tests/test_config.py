@@ -113,3 +113,32 @@ def test_aggregation_validation():
         ModelConfig(trunk="pointnetvlad", aggregation="lse")
     with pytest.raises(ValueError, match="aggregation"):
         ModelConfig(trunk="lpdnet", aggregation="softmax")
+
+
+def test_resolved_aggregation_auto_rules():
+    """'auto' (the round-4 default) resolves at READ time: lse for the
+    LPD trunk, max for aggregation-free trunks and for the torch-parity
+    'edge' BN placement; explicit values always win; and because the
+    resolution is read-time, dataclasses.replace(trunk=...) keeps the
+    right default (a construction-time rewrite froze the OLD trunk's
+    choice — the preset/--trunk path)."""
+    import dataclasses
+
+    from lpdnet_tpu.configs import ModelConfig, PRESETS
+
+    assert ModelConfig().aggregation == "auto"
+    assert ModelConfig().resolved_aggregation == "max"  # pointnetvlad
+    assert ModelConfig(trunk="lpdnet").resolved_aggregation == "lse"
+    assert ModelConfig(
+        trunk="lpdnet", edge_bn_placement="edge"
+    ).resolved_aggregation == "max"
+    assert ModelConfig(
+        trunk="lpdnet", aggregation="max"
+    ).resolved_aggregation == "max"
+
+    base = ModelConfig()  # auto, resolves max
+    flipped = dataclasses.replace(base, trunk="lpdnet")
+    assert flipped.resolved_aggregation == "lse"
+
+    assert PRESETS["lpd_baseline"]().model.resolved_aggregation == "lse"
+    assert PRESETS["baseline"]().model.resolved_aggregation == "max"
