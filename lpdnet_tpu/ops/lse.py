@@ -101,7 +101,7 @@ def knn_lse_aggregate(
     values: jnp.ndarray,
     k: int,
     *,
-    t0: float = 48.0,
+    t0: float = 24.0,
     block: int = 512,
     window: Optional[int] = None,
     exclude_self: bool = False,
