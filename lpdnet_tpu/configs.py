@@ -40,11 +40,13 @@ class FeatureConfig:
     k: int = 20  # neighborhood size for the local covariance (incl. self)
     eps: float = 1e-8  # degenerate-neighborhood guard
     # Blockwise kNN tile size (query points per tile) for the feature stage
-    # and the trunk graphs. 512 pairs with knn_window=256 so every candidate
-    # window is block + 2w = 1024 — power-of-two windows measurably improve
-    # the approx_min_k reduction (1222 submaps/s at win 1024 vs 1068 at the
-    # non-pow2 win 1536, B=32; full sweep table in docs/PERF_LOG.md).
-    knn_block: int = 512
+    # and the trunk graphs. 256 pairs with knn_window=128 so every candidate
+    # window is block + 2w = 512, the round-4 sweep optimum on BOTH
+    # aggregation paths (lse 5196 vs 4394 submaps/s at the old 512/256,
+    # +18%; max 1348 vs 1322 — equal min cosine vs the exact oracle on
+    # both; docs/PERF_LOG.md round 4). Power-of-two windows remain the
+    # rule (the round-2 lesson: non-pow2 win 1536 lost ~13%).
+    knn_block: int = 256
     # Per-neighbour recall of the approximate TPU selection (approx_min_k).
     # Descriptor fidelity is insensitive to this knob (cosine vs the 0.95
     # setting: 1.00000 at 0.9, 0.99999 at 0.8 — max-aggregation and
@@ -108,9 +110,10 @@ class ModelConfig:
     # exact full scan (worst case over 64 submaps). None = full scans.
     # Degenerates to the full scan when the window covers N; disabled
     # automatically under exact_knn (the fidelity-audit path stays exact).
-    # 256 with knn_block=512 keeps every candidate window at a power of two
-    # (1024), the approx_min_k sweet spot (docs/PERF_LOG.md sweep).
-    knn_window: Optional[int] = 256
+    # 128 with knn_block=256 keeps every candidate window at a power of two
+    # (512), the round-4 sweep optimum for both aggregations
+    # (docs/PERF_LOG.md; the round-2 default was 256/512 -> win 1024).
+    knn_window: Optional[int] = 128
     # LPD trunk neighbour aggregation (ops/lse.py):
     #   'auto' — (default since round 4) resolves to 'lse' for the LPD
     #     trunk and 'max' (inert) for aggregation-free trunks; read the

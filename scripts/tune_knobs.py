@@ -42,6 +42,8 @@ def main():
         "--combos", nargs="*", default=None,
         help="rt,block,window triples (e.g. 0.85,512,256)",
     )
+    ap.add_argument("--agg", default=None, choices=["max", "lse"],
+                    help="override ModelConfig.aggregation for the sweep")
     args = ap.parse_args()
 
     from lpdnet_tpu.utils.cache import enable_compilation_cache
@@ -115,9 +117,11 @@ def main():
 
     rows = []
     for rt, blk, w in combos:
+        kw = {} if args.agg is None else {"aggregation": args.agg}
         cfg = ModelConfig(
             trunk="lpdnet", compute_dtype="bfloat16", knn_window=w,
             features=FeatureConfig(k=20, knn_block=blk, recall_target=rt),
+            **kw,
         )
         rate, cmean, cmin = run(cfg)
         rows.append({
