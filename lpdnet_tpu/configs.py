@@ -162,6 +162,17 @@ class ModelConfig:
                 f"(trunk={self.trunk!r} has no neighbour aggregation); "
                 "use --trunk lpdnet or drop the aggregation override"
             )
+        if self.aggregation == "lse" and self.edge_bn_placement == "edge":
+            # 'auto' resolves this combination to 'max'; an EXPLICIT 'lse'
+            # would otherwise only fail at trace time deep inside
+            # EdgeConv.__call__ (advisor round-4 finding). The per-edge BN
+            # needs the (B, N, k, C) edge tensor LSE never materializes.
+            raise ValueError(
+                "model.aggregation='lse' requires edge_bn_placement='post' "
+                "(the 'edge' torch-parity placement normalizes the per-edge "
+                "tensor the LSE path never materializes); drop one of the "
+                "two overrides"
+            )
 
     @property
     def effective_input_dim(self) -> int:

@@ -113,6 +113,14 @@ def test_aggregation_validation():
         ModelConfig(trunk="pointnetvlad", aggregation="lse")
     with pytest.raises(ValueError, match="aggregation"):
         ModelConfig(trunk="lpdnet", aggregation="softmax")
+    # Explicit lse + per-edge BN must fail at CONFIG time, not trace time
+    # (advisor round-4): LSE never materializes the (B, N, k, C) edge
+    # tensor the 'edge' placement normalizes. 'auto' resolves to 'max'.
+    with pytest.raises(ValueError, match="edge_bn_placement"):
+        ModelConfig(trunk="lpdnet", aggregation="lse", edge_bn_placement="edge")
+    assert ModelConfig(
+        trunk="lpdnet", edge_bn_placement="edge"
+    ).resolved_aggregation == "max"
 
 
 def test_resolved_aggregation_auto_rules():
