@@ -16,8 +16,12 @@ Reference constants (SURVEY C1, values corroborated by BASELINE.json):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
+
+# Once-per-process guard for the 'auto'->'lse' resolution notice below.
+_AUTO_LSE_NOTICED = False
 
 
 @dataclass(frozen=True)
@@ -192,6 +196,20 @@ class ModelConfig:
             return self.aggregation
         if self.trunk != "lpdnet" or self.edge_bn_placement == "edge":
             return "max"
+        # One-time notice (advisor round-4): 'auto'->'lse' is a deliberate
+        # semantic departure from the reference's hard-max EdgeConv —
+        # descriptors are smooth-max approximations (cosine >= ~0.93 vs
+        # 'max' at the default t0/levels). A consumer who REBUILDS a
+        # ModelConfig instead of loading a saved config.json gets this
+        # silently; the log line makes mixed-version eval setups notice.
+        global _AUTO_LSE_NOTICED
+        if not _AUTO_LSE_NOTICED:
+            _AUTO_LSE_NOTICED = True
+            logging.getLogger(__name__).info(
+                "model.aggregation='auto' resolved to 'lse' (gather-free "
+                "smooth-max; use --set model.aggregation=max for the "
+                "reference's literal hard-max semantics)"
+            )
         return "lse"
 
 

@@ -211,12 +211,18 @@ def make_sp_embed_fn(
                 center = jax.lax.dynamic_slice_in_dim(
                     values, off[0], block, axis=1
                 ).astype(jnp.float32)
+                # Two-pass (mean-centered) to match the single-device
+                # jnp.std exactly: the one-pass E[x^2]-E[x]^2 form loses
+                # to catastrophic cancellation when |mean| >> std, which
+                # would skew SP's temperature vs the monolithic model
+                # (advisor round-4 finding). Costs one extra psum.
                 s = jax.lax.psum(jnp.sum(center, 1, keepdims=True), axis)
-                ss = jax.lax.psum(
-                    jnp.sum(jnp.square(center), 1, keepdims=True), axis
-                )
                 mean = s / n
-                return jnp.sqrt(jnp.maximum(ss / n - jnp.square(mean), 0.0))
+                css = jax.lax.psum(
+                    jnp.sum(jnp.square(center - mean), 1, keepdims=True),
+                    axis,
+                )
+                return jnp.sqrt(css / n)
         h = trunk.apply(
             trunk_vars, x13, train=False, idx_xyz=idx_xyz,
             lse_std_fn=lse_std_fn, lse_kth_xyz=kth_xyz,
