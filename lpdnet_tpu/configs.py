@@ -146,6 +146,15 @@ class ModelConfig:
     # horizon by 64 exponent units (~6.3 std at 2, ~9 std at 3, for the
     # default t0).
     lse_levels: int = 2
+    # Per-row tie-explosion bias correction (ops/lse.py tie_correction):
+    # subtract log(max(m/k, 1))/t where m is the row's mask count. On
+    # tie-degenerate geometry (coplanar ground sheets — the nominal case
+    # for real LiDAR submaps) the d<=kth mask keeps m >> k candidates and
+    # the per-row smooth-max bias log(m)/t destroys descriptor fidelity
+    # (cosine 0.64 vs 'max' measured on sheets, docs/PERF_LOG.md round
+    # 4); the correction renormalizes exploded rows to the same
+    # log(k)/t-class bias as normal rows and is a no-op when m <= k.
+    lse_tie_correction: bool = False
 
     def __post_init__(self):
         if self.aggregation not in ("auto", "max", "lse"):

@@ -47,6 +47,7 @@ def make_lse_agg(
     std_fn=None,
     levels: int = 2,
     kth=None,
+    tie_correction: bool = False,
 ):
     """Build the gather-free LSE ``agg_fn`` for one EdgeConv (ops/lse.py).
 
@@ -62,6 +63,7 @@ def make_lse_agg(
             space, values, k, t0=t0, block=block, window=window,
             recall_target=recall_target, exact=exact,
             dist_dtype=dist_dtype, std=std, levels=levels, kth=kth,
+            tie_correction=tie_correction,
         )
     # NOT remat'd: jax.checkpoint(agg) measured 1223 -> 1039 submaps/s
     # on the train bench (docs/PERF_LOG.md round 4) — the backward
@@ -223,6 +225,7 @@ class LPDNetFeat(nn.Module):
     aggregation: str = "max"
     lse_t0: float = 24.0
     lse_levels: int = 2
+    lse_tie_correction: bool = False
 
     @nn.compact
     def __call__(
@@ -256,6 +259,7 @@ class LPDNetFeat(nn.Module):
                     recall_target=self.recall_target, exact=self.exact_knn,
                     dist_dtype=dist_dtype, std_fn=lse_std_fn,
                     levels=self.lse_levels, kth=kth,
+                    tie_correction=self.lse_tie_correction,
                 )
             # ``lse_kth_xyz``: the caller's feature stage already scanned
             # the xyz space — its k-th distance re-masks the SAME metric

@@ -102,6 +102,7 @@ class DescriptorNet(nn.Module):
                 aggregation=cfg.resolved_aggregation,
                 lse_t0=cfg.lse_t0,
                 lse_levels=cfg.lse_levels,
+                lse_tie_correction=cfg.lse_tie_correction,
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz, lse_kth_xyz=kth_xyz)
         elif cfg.trunk == "pointnetvlad":

@@ -93,7 +93,7 @@ _SHIFT = 64.0
     jax.jit,
     static_argnames=(
         "k", "t0", "block", "window", "exclude_self", "exact",
-        "recall_target", "dist_dtype", "levels",
+        "recall_target", "dist_dtype", "levels", "tie_correction",
     ),
 )
 def knn_lse_aggregate(
@@ -111,6 +111,7 @@ def knn_lse_aggregate(
     std: Optional[jnp.ndarray] = None,
     levels: int = 2,
     kth: Optional[jnp.ndarray] = None,
+    tie_correction: bool = False,
 ) -> jnp.ndarray:
     """Smooth ``max_{j in knn(i)} values[j]`` over a self-graph, gather-free.
 
@@ -135,6 +136,18 @@ def knn_lse_aggregate(
         horizon by ``_SHIFT`` exponent units (``~_SHIFT * std_c / t0``
         in value space); rows whose whole neighbourhood sits below the
         last level's horizon clamp (bounded by the self-value floor).
+      tie_correction: subtract the per-row tie-explosion bias
+        ``log(max(m/k, 1)) / t`` where ``m`` is the row's mask count
+        (``sum_w mask[i, w]``, free in the scan). The mask keeps EVERY
+        candidate at ``d <= kth``, so on tie-degenerate geometry (a
+        coplanar ground sheet: many candidates exactly at the k-th
+        distance) ``m >> k`` and the smooth-max bias ``log(m)/t`` varies
+        per ROW — measured descriptor cosine 0.64 vs 'max' on coplanar
+        sheets (docs/PERF_LOG.md round 4). The correction renormalizes an
+        exploded row to the ``log(k)/t``-class bias every ``m ~ k`` row
+        already carries (for an all-tied row it yields exactly the
+        ``k``-tie smooth max), and is a no-op when ``m <= k``. Stop-grad
+        additive: gradients are untouched.
       kth: optional (B, N) per-row squared-distance mask threshold. When
         given, the selection (``approx_min_k`` / ``top_k``) is SKIPPED
         entirely and the mask is ``d <= kth`` — the caller reuses a
@@ -312,6 +325,17 @@ def knn_lse_aggregate(
                 jnp.log(jnp.maximum(sums[l], tiny)) - l * _SHIFT,
                 log_s,
             )
+        if tie_correction:
+            # Per-row mask count: a cheap lane reduction XLA fuses into
+            # the mask producer (no extra HBM pass). Subtracting
+            # log(max(m/k, 1)) renormalizes tie-exploded rows (m >> k) to
+            # the k-candidate bias class; m <= k rows are untouched.
+            m_rows = jax.lax.stop_gradient(
+                jnp.sum(m_bool, axis=-1).astype(jnp.float32)
+            )  # (B, block)
+            log_s = log_s - jnp.log(
+                jnp.maximum(m_rows / float(k), 1.0)
+            )[..., None]
         out = anchor + log_s / t  # (B, block, C)
         return carry, out
 

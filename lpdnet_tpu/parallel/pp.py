@@ -104,6 +104,7 @@ def _lse_agg(cfg: ModelConfig, space, kth=None):
         block=cfg.features.knn_block, window=_window(cfg),
         recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
         dist_dtype=_dist_dtype(cfg), kth=kth,
+        tie_correction=cfg.lse_tie_correction,
     )
 
 

@@ -175,6 +175,7 @@ def make_sp_embed_fn(
         aggregation=cfg.resolved_aggregation,
         lse_t0=cfg.lse_t0,
         lse_levels=cfg.lse_levels,
+        lse_tie_correction=cfg.lse_tie_correction,
     )
     trunk_vars = {
         "params": variables["params"]["trunk"],

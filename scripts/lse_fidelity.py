@@ -203,21 +203,29 @@ def main():
             })
     results["gates"]["t0_sweep"] = sweep
 
-    # --- gate B: degenerate inputs at the default t0 ---------------------
+    # --- gate B: degenerate inputs at the default t0, with and without
+    # the per-row tie-explosion correction (configs lse_tie_correction) --
     t0_default = model_cfg.lse_t0
     emb_lse = embed_for(aggregation="lse", lse_t0=t0_default)
+    emb_lse_tc = embed_for(
+        aggregation="lse", lse_t0=t0_default, lse_tie_correction=True
+    )
     degen = []
     for label, pts in degenerate_clouds(rng, min(8, args.batch), n):
         x = jnp.asarray(pts)
         dl = np.asarray(emb_lse(variables, x))
+        dtc = np.asarray(emb_lse_tc(variables, x))
         dm = np.asarray(emb_max(variables, x))
         finite = bool(np.all(np.isfinite(dl)))
         mn_d, mean_d = cos_stats(dl, dm)
+        mn_t, mean_t = cos_stats(dtc, dm)
         print(f"[degenerate] {label}: finite={finite}, cos vs max min "
-              f"{mn_d:.6f} mean {mean_d:.6f}", file=sys.stderr)
+              f"{mn_d:.6f} mean {mean_d:.6f} | tie-corrected min "
+              f"{mn_t:.6f} mean {mean_t:.6f}", file=sys.stderr)
         degen.append({
             "case": label, "finite": finite,
             "cos_min_vs_max": mn_d, "cos_mean_vs_max": mean_d,
+            "tc_cos_min_vs_max": mn_t, "tc_cos_mean_vs_max": mean_t,
         })
     results["gates"]["degenerate"] = degen
 

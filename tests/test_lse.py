@@ -236,9 +236,21 @@ def test_model_lse_trains(rng):
 
 
 def test_lse_rejects_edge_bn_placement(rng):
-    cfg = _lpd_cfg(aggregation="lse", edge_bn_placement="edge")
+    # Since round 5 the invalid combination fails at CONFIG construction
+    # (advisor finding: the trace-time error surfaced too late); the
+    # module-level guard below stays as defense in depth for direct
+    # LPDNetFeat users.
+    with pytest.raises(ValueError, match="edge_bn_placement"):
+        _lpd_cfg(aggregation="lse", edge_bn_placement="edge")
+
+    from lpdnet_tpu.models.lpdnet import LPDNetFeat
+
+    m = LPDNetFeat(
+        feature_dim=16, k=4, aggregation="lse", edge_bn_placement="edge",
+        knn_block=64,
+    )
     with pytest.raises(ValueError, match="bn_placement"):
-        init_model(cfg, jax.random.key(0), batch_size=1)
+        m.init(jax.random.key(0), jnp.zeros((1, 64, 13)))
 
 
 def test_lse_shape_mismatch_raises(rng):
@@ -397,3 +409,73 @@ def test_lse_kth_shape_mismatch_raises():
     vals = jnp.zeros((1, 64, 4))
     with pytest.raises(ValueError, match="kth"):
         knn_lse_aggregate(pts, vals, 4, kth=jnp.zeros((1, 32)))
+
+
+def test_lse_tie_correction_renormalizes_exploded_masks(rng):
+    """Coplanar/duplicate geometry explodes the d<=kth mask to m >> k
+    (every co-located candidate ties at the k-th distance) and the
+    smooth-max bias becomes log(m)/t PER ROW (the round-4 coplanar
+    cosine-0.64 failure, docs/PERF_LOG.md). With exactly-tied values the
+    bias is analytic: raw = v + log(m)/t; tie_correction renormalizes to
+    v + log(k)/t — the same bias class as a normal m == k row."""
+    b, n, c, k = 2, 256, 8, 6
+    p, dup = 16, 16  # 16 distinct locations x 16 exact duplicates
+    t0 = 24.0
+    locs = rng.randn(b, p, 3).astype(np.float32)
+    pts = np.repeat(locs, dup, axis=1)  # (b, n, 3)
+    w = rng.randn(3, c).astype(np.float32)
+    vals = pts @ w  # exactly equal values at co-located duplicates
+
+    raw = np.asarray(knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=t0, exact=True
+    ))
+    tc = np.asarray(knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=t0, exact=True,
+        tie_correction=True,
+    ))
+    # t = t0 / std_c; every masked set is the dup co-located copies, all
+    # at the row's own value v.
+    t = t0 / np.maximum(vals.std(axis=1, keepdims=True), 1e-6)
+    np.testing.assert_allclose(
+        raw - vals, np.broadcast_to(np.log(dup) / t, raw.shape), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        tc - vals, np.broadcast_to(np.log(k) / t, tc.shape), rtol=1e-4
+    )
+
+    # Generic geometry (no distance ties -> m == k): the correction is
+    # log(max(m/k, 1)) = 0, a bitwise no-op.
+    pts_g, vals_g = _cloud(rng, b, 192, c, uniform=True)
+    raw_g = np.asarray(knn_lse_aggregate(
+        jnp.asarray(pts_g), jnp.asarray(vals_g), k, t0=t0, exact=True
+    ))
+    tc_g = np.asarray(knn_lse_aggregate(
+        jnp.asarray(pts_g), jnp.asarray(vals_g), k, t0=t0, exact=True,
+        tie_correction=True,
+    ))
+    np.testing.assert_array_equal(raw_g, tc_g)
+
+
+def test_lse_tie_correction_grad_unchanged(rng):
+    """The correction is a stop-grad additive term: the op's VJP under
+    the SAME cotangent must match the uncorrected op exactly, even on
+    tie-exploded inputs (the mask and t were already stop-grad)."""
+    b, n, c, k = 1, 64, 4, 4
+    locs = rng.randn(b, 8, 3).astype(np.float32)
+    pts = jnp.asarray(np.repeat(locs, 8, axis=1))
+    vals = jnp.asarray(
+        (np.repeat(locs, 8, axis=1) @ rng.randn(3, c)).astype(np.float32)
+        + 0.01 * rng.randn(b, n, c).astype(np.float32)
+    )
+    cot = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+
+    _, vjp_raw = jax.vjp(
+        lambda v: knn_lse_aggregate(pts, v, k, exact=True), vals
+    )
+    _, vjp_tc = jax.vjp(
+        lambda v: knn_lse_aggregate(pts, v, k, exact=True,
+                                    tie_correction=True), vals
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vjp_raw(cot)[0]), np.asarray(vjp_tc(cot)[0])
+    )
