@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_world", default="clustered",
+                   choices=["clustered", "hard", "ground"],
+                   help="synthetic world family (data/synthetic.py)")
+    p.add_argument("--synthetic_families", type=int, default=8)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--exact_knn", action="store_true",
                    help="exact top_k selection (fidelity audit; slow)")
@@ -125,6 +129,8 @@ def main():
         ds = make_synthetic_dataset(
             num_places=16, submaps_per_place=8,
             num_points=cfg.model.num_points,
+            world=args.synthetic_world,
+            num_families=args.synthetic_families,
         )
         database_sets, query_sets, loader = (
             ds.database_sets, ds.query_sets, ds.loader

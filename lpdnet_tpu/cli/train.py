@@ -80,6 +80,16 @@ def parse_args():
                    choices=["small", "full"],
                    help="small: 256-pt tiny model smoke; full: 4096-pt "
                         "full-size model dress rehearsal")
+    p.add_argument("--synthetic_world", default="clustered",
+                   choices=["clustered", "hard", "ground"],
+                   help="synthetic world family (data/synthetic.py): "
+                        "'clustered' = the easy smoke world; 'hard' = "
+                        "family-ambiguous places + occluded noisy views "
+                        "(discriminating audits); 'ground' = hard + a "
+                        "coplanar ground sheet (LiDAR-like geometry)")
+    p.add_argument("--synthetic_families", type=int, default=8,
+                   help="family-template count for the hard/ground worlds "
+                        "(fewer = more inter-place ambiguity)")
     p.add_argument("--eval_database_file", default=None)
     p.add_argument("--eval_query_file", default=None)
     p.add_argument(
@@ -184,6 +194,8 @@ def main():
         ds = make_synthetic_dataset(
             num_places=places, submaps_per_place=submaps,
             num_points=cfg.model.num_points, seed=cfg.train.seed,
+            world=args.synthetic_world,
+            num_families=args.synthetic_families,
         )
         res = TrainResources(
             sampler=TupleSampler(

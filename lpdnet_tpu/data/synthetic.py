@@ -47,12 +47,46 @@ def _make_submap(
     return np.clip(pts, -1.0, 1.0).astype(np.float32)
 
 
+def _make_hard_submap(
+    base: np.ndarray,
+    rng: np.random.RandomState,
+    num_points: int,
+    jitter: float,
+    occlusion: float,
+) -> np.ndarray:
+    """A sensor-like view: z-rotation, then a random azimuth wedge of
+    ``occlusion`` radians dropped (self-occlusion / missing returns —
+    each view sees a different subset of the place), then resample +
+    per-point noise of ``jitter``."""
+    ang = rng.uniform(-np.pi, np.pi)
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    pts = base @ rot.T
+    if occlusion > 0.0:
+        theta0 = rng.uniform(-np.pi, np.pi)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        diff = np.abs((az - theta0 + np.pi) % (2 * np.pi) - np.pi)
+        keep = pts[diff > occlusion / 2.0]
+        if keep.shape[0] >= max(num_points // 4, 16):
+            pts = keep
+    sel = rng.choice(pts.shape[0], num_points, replace=True)
+    pts = pts[sel] + rng.randn(num_points, 3).astype(np.float32) * jitter
+    return np.clip(pts, -1.0, 1.0).astype(np.float32)
+
+
 def make_synthetic_dataset(
     num_places: int = 8,
     submaps_per_place: int = 6,
     num_points: int = 128,
     seed: int = 0,
     num_runs: int = 2,
+    world: str = "clustered",
+    num_families: int = 8,
+    family_spread: float = 0.12,
+    jitter: float = 0.03,
+    occlusion: float = 1.2,
+    ground_frac: float = 0.6,
+    ground_rough: float = 0.02,
 ) -> SyntheticDataset:
     """Build the dataset + eval sets.
 
@@ -60,8 +94,35 @@ def make_synthetic_dataset(
     place (database) and one fresh submap per place (queries), with
     synthetic UTM coordinates spacing places 100 m apart so the 25 m
     true-positive radius (SURVEY C9) groups only same-place submaps.
+
+    Worlds (VERDICT round-4 item 2 — the default world saturates every
+    audit at 100% recall, so it cannot discriminate aggregation modes):
+
+      * ``clustered`` (default): independent cluster-mixture places — the
+        original easy world; every extra knob below is ignored, and the
+        RNG stream is unchanged (artifacts are bit-identical to before).
+      * ``hard``: places are perturbed variants of ``num_families`` shared
+        family templates (same coarse structure within a family —
+        inter-place ambiguity scales with ``num_families`` down /
+        ``family_spread`` down), and submaps are sensor-like views: a
+        random azimuth wedge of ``occlusion`` radians dropped per view +
+        per-point noise ``jitter`` (vs the easy world's 0.01). Sized so a
+        trained model's exact-kNN oracle lands BELOW 100% recall@1,
+        leaving resolution to measure exact-vs-max-vs-lse deltas.
+      * ``ground``: ``hard`` plus a rough coplanar ground sheet carrying
+        ``ground_frac`` of each submap's points (z = -0.8 +
+        ``ground_rough`` noise, identically distributed across places —
+        pure nuisance, like real LiDAR ground returns). The flat sheet is
+        the geometry that tie-explodes the LSE mask (docs/PERF_LOG.md
+        round 4), so this world turns the coplanar cosine finding into a
+        retrieval-impact number.
     """
+    if world not in ("clustered", "hard", "ground"):
+        raise ValueError(
+            f"world must be 'clustered', 'hard' or 'ground', got {world!r}"
+        )
     rng = np.random.RandomState(seed)
+    total = num_points * 4
 
     def make_base() -> np.ndarray:
         """A place = a mixture of compact clusters at random 3-D offsets.
@@ -74,13 +135,55 @@ def make_synthetic_dataset(
         centers = rng.uniform(-0.8, 0.8, size=(n_clusters, 3))
         scales = rng.uniform(0.02, 0.15, size=(n_clusters, 1))
         pts = []
-        total = num_points * 4
         for ci in range(n_clusters):
             cnt = total // n_clusters
             pts.append(centers[ci] + rng.randn(cnt, 3) * scales[ci])
         return np.concatenate(pts).clip(-1, 1).astype(np.float32)
 
-    bases = [make_base() for _ in range(num_places)]
+    def make_family() -> Tuple[np.ndarray, np.ndarray]:
+        """A family template: cluster centers/scales shared (up to the
+        per-place perturbation) by every place in the family."""
+        n_clusters = rng.randint(6, 10)
+        centers = rng.uniform(-0.8, 0.8, size=(n_clusters, 3))
+        # Structure sits above the ground sheet (z = -0.8).
+        centers[:, 2] = rng.uniform(-0.5, 0.7, size=n_clusters)
+        scales = rng.uniform(0.03, 0.12, size=(n_clusters, 1))
+        return centers, scales
+
+    def make_hard_base(family: Tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+        centers, scales = family
+        centers = centers + family_spread * rng.randn(*centers.shape)
+        scales = scales * np.exp(0.2 * rng.randn(*scales.shape))
+        gfrac = ground_frac if world == "ground" else 0.0
+        n_struct = total - int(total * gfrac)
+        n_clusters = centers.shape[0]
+        pts = []
+        for ci in range(n_clusters):
+            cnt = n_struct // n_clusters + (
+                1 if ci < n_struct % n_clusters else 0
+            )
+            pts.append(centers[ci] + rng.randn(cnt, 3) * scales[ci])
+        n_ground = total - n_struct
+        if n_ground > 0:
+            gxy = rng.uniform(-1.0, 1.0, size=(n_ground, 2))
+            gz = -0.8 + ground_rough * rng.randn(n_ground, 1)
+            pts.append(np.concatenate([gxy, gz], axis=1))
+        return np.concatenate(pts).clip(-1, 1).astype(np.float32)
+
+    if world == "clustered":
+        bases = [make_base() for _ in range(num_places)]
+
+        def view(base: np.ndarray) -> np.ndarray:
+            return _make_submap(base, rng, num_points)
+    else:
+        families = [make_family() for _ in range(num_families)]
+        bases = [
+            make_hard_base(families[p % num_families])
+            for p in range(num_places)
+        ]
+
+        def view(base: np.ndarray) -> np.ndarray:
+            return _make_hard_submap(base, rng, num_points, jitter, occlusion)
 
     clouds: Dict[str, np.ndarray] = {}
     queries: Dict[int, Dict] = {}
@@ -90,7 +193,7 @@ def make_synthetic_dataset(
     for p in range(num_places):
         for s in range(submaps_per_place):
             fname = f"place{p:03d}/sub{s:03d}.bin"
-            clouds[fname] = _make_submap(bases[p], rng, num_points)
+            clouds[fname] = view(bases[p])
             by_place[p].append(idx)
             place_of[idx] = p
             idx += 1
@@ -111,8 +214,8 @@ def make_synthetic_dataset(
         for p in range(num_places):
             db_name = f"run{r}/db_place{p:03d}.bin"
             q_name = f"run{r}/q_place{p:03d}.bin"
-            clouds[db_name] = _make_submap(bases[p], rng, num_points)
-            clouds[q_name] = _make_submap(bases[p], rng, num_points)
+            clouds[db_name] = view(bases[p])
+            clouds[q_name] = view(bases[p])
             db[p] = {
                 "query": db_name,
                 "northing": coords[p][0],

@@ -34,6 +34,17 @@ def main():
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--world", default="clustered",
+                    choices=["clustered", "hard", "ground"],
+                    help="world family (data/synthetic.py); 'hard'/"
+                         "'ground' are the discriminating audits (round "
+                         "5): tuned so the exact oracle lands <100%%")
+    ap.add_argument("--families", type=int, default=8)
+    ap.add_argument("--family_spread", type=float, default=0.12)
+    ap.add_argument("--jitter", type=float, default=0.03)
+    ap.add_argument("--occlusion", type=float, default=1.2)
+    ap.add_argument("--ground_frac", type=float, default=0.6)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from lpdnet_tpu.utils.cache import enable_compilation_cache
@@ -61,6 +72,10 @@ def main():
             world = make_synthetic_dataset(
                 num_places=args.places, submaps_per_place=8,
                 num_points=world_points, num_runs=args.runs,
+                world=args.world, num_families=args.families,
+                family_spread=args.family_spread, jitter=args.jitter,
+                occlusion=args.occlusion, ground_frac=args.ground_frac,
+                seed=args.seed,
             )
         elif cfg.model.num_points != world_points:
             raise SystemExit(
@@ -96,10 +111,20 @@ def main():
               f"{row['recall_at_1']:.2f}, @5 {row['recall_at_5']:.2f}, "
               f"top1% {row['top1pct']:.2f}", flush=True)
 
+    world_cfg = {
+        "world": args.world, "places": args.places, "runs": args.runs,
+        "seed": args.seed,
+    }
+    if args.world != "clustered":
+        world_cfg.update(
+            families=args.families, family_spread=args.family_spread,
+            jitter=args.jitter, occlusion=args.occlusion,
+            ground_frac=args.ground_frac if args.world == "ground" else 0.0,
+        )
     print(json.dumps(results))
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump({"world": world_cfg, "results": results}, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -114,6 +114,60 @@ def test_epoch_batches_shapes_and_coverage():
     assert len(seen) == (24 // 4) * 4
 
 
+def test_synthetic_world_families():
+    """Hard/ground worlds (the round-5 discriminating audits): layout
+    matches the easy world, generation is deterministic, family structure
+    makes same-family places more alike than cross-family ones, and the
+    ground world's sheet is a real coplanar mass at z ~ -0.8."""
+    import pytest
+
+    common = dict(num_places=8, submaps_per_place=4, num_points=64,
+                  num_families=2, seed=3)
+    hard = make_synthetic_dataset(world="hard", **common)
+    hard2 = make_synthetic_dataset(world="hard", **common)
+    assert sorted(hard.clouds) == sorted(hard2.clouds)
+    for k in hard.clouds:
+        np.testing.assert_array_equal(hard.clouds[k], hard2.clouds[k])
+        assert hard.clouds[k].shape == (64, 3)
+        assert hard.clouds[k].dtype == np.float32
+    assert len(hard.queries) == 32
+    assert len(hard.database_sets) == 2
+
+    # Rotation-invariant coarse signature: sorted radial/z histogram.
+    def sig(p):
+        pts = np.concatenate(
+            [hard.clouds[f"place{p:03d}/sub{s:03d}.bin"] for s in range(4)]
+        )
+        r = np.linalg.norm(pts[:, :2], axis=1)
+        h1, _ = np.histogram(r, bins=8, range=(0, 1.5), density=True)
+        h2, _ = np.histogram(pts[:, 2], bins=8, range=(-1, 1), density=True)
+        return np.concatenate([h1, h2])
+
+    # Places p and p+2 share a family (p % num_families); p and p+1 don't.
+    same = np.linalg.norm(sig(0) - sig(2)) + np.linalg.norm(sig(1) - sig(3))
+    cross = np.linalg.norm(sig(0) - sig(1)) + np.linalg.norm(sig(2) - sig(3))
+    assert same < cross, (same, cross)
+
+    ground = make_synthetic_dataset(world="ground", ground_frac=0.6, **common)
+    g_pts = np.concatenate(list(ground.clouds.values()))
+    sheet = np.abs(g_pts[:, 2] + 0.8) < 0.1
+    frac = sheet.mean()
+    assert 0.35 < frac < 0.75, frac  # occlusion/resampling moves it a bit
+
+    # The easy world's stream is untouched by the new knobs.
+    easy_a = make_synthetic_dataset(num_places=4, submaps_per_place=2,
+                                    num_points=32, seed=1)
+    easy_b = make_synthetic_dataset(num_places=4, submaps_per_place=2,
+                                    num_points=32, seed=1,
+                                    world="clustered", num_families=5,
+                                    occlusion=99.0)
+    for k in easy_a.clouds:
+        np.testing.assert_array_equal(easy_a.clouds[k], easy_b.clouds[k])
+
+    with pytest.raises(ValueError, match="world"):
+        make_synthetic_dataset(world="lunar")
+
+
 def test_other_neg_is_negative_to_all():
     ds = make_synthetic_dataset(num_places=6, submaps_per_place=4, num_points=32)
     sampler = TupleSampler(ds.queries, ds.loader, num_pos=2, num_neg=3)
