@@ -164,10 +164,14 @@ def test_dp_sp_embed_matches_single_device(rng, data, points):
 
 
 @pytest.mark.slow
-def test_sp_embed_matches_single_device_flagship_scale(rng):
-    """Flagship shape (4096 pts, 1024-D trunk, 64 clusters, window 256) on
-    the virtual fleet: different padding, halo, and psum shapes than the
-    toy test above (VERDICT round-2 item 6)."""
+@pytest.mark.parametrize("window,block", [(256, 512), (128, 256)])
+def test_sp_embed_matches_single_device_flagship_scale(rng, window, block):
+    """Flagship shape (4096 pts, 1024-D trunk, 64 clusters) on the
+    virtual fleet: different padding, halo, and psum shapes than the
+    toy test above (VERDICT round-2 item 6). Parametrized over the
+    round-2 geometry (window 256 / block 512) AND the shipped round-4
+    default (128 / 256) — the halo-coverage property must hold at the
+    geometry users actually run (VERDICT round-4 item 1)."""
     cfg = ModelConfig(
         trunk="lpdnet", num_points=4096, feature_dim=1024, num_clusters=64,
         output_dim=256, graph_k=20, compute_dtype="float32",
@@ -175,10 +179,9 @@ def test_sp_embed_matches_single_device_flagship_scale(rng):
         # pin it ('auto' resolves to lse since round 4 — the LSE
         # flagship bar lives in the sibling test below).
         aggregation="max",
-        # Matched geometry: per-device block = 4096/8 = 512 = knn_block,
-        # halo = the production window 256.
-        knn_window=256,
-        features=FeatureConfig(k=20, knn_block=512),
+        # Halo = the production window; per-device block = 4096/8 = 512.
+        knn_window=window,
+        features=FeatureConfig(k=20, knn_block=block),
     )
     model, variables = init_model(cfg, jax.random.key(1), batch_size=1)
     mesh = make_mesh(8, "points")
@@ -199,20 +202,22 @@ def test_sp_embed_matches_single_device_flagship_scale(rng):
 
 
 @pytest.mark.slow
-def test_sp_embed_lse_matches_single_device_flagship_scale(rng):
+@pytest.mark.parametrize("window,block", [(256, 512), (128, 256)])
+def test_sp_embed_lse_matches_single_device_flagship_scale(rng, window, block):
     """The same flagship shape under aggregation='lse' (the round-4
-    default). The bar is looser than the max path's 0.999: SP computes
+    default), at both the round-2 geometry and the shipped default
+    (128/256). The bar is looser than the max path's 0.999: SP computes
     the LSE per shard window (one anchor per 1024-row local window)
-    while the single-device scan anchors per 512-row block over sliding
+    while the single-device scan anchors per block over sliding
     windows — different anchor unions shift the smooth-max tails by a
-    few 1e-3 (measured 0.9958 on this seed). Temperature matches exactly
-    (psum'd global std)."""
+    few 1e-3 (measured 0.9958 on this seed at 256/512). Temperature
+    matches exactly (psum'd global std)."""
     cfg = ModelConfig(
         trunk="lpdnet", num_points=4096, feature_dim=1024, num_clusters=64,
         output_dim=256, graph_k=20, compute_dtype="float32",
         aggregation="lse",
-        knn_window=256,
-        features=FeatureConfig(k=20, knn_block=512),
+        knn_window=window,
+        features=FeatureConfig(k=20, knn_block=block),
     )
     model, variables = init_model(cfg, jax.random.key(1), batch_size=1)
     mesh = make_mesh(8, "points")
