@@ -1,0 +1,338 @@
+"""Fused Pallas LSE aggregation (ops/pallas/lse_fused.py) vs oracles.
+
+The kernel is the VMEM-resident twin of ``ops.lse.knn_lse_aggregate``
+(bf16 mask space, ``exclude_self=False``): same mask semantics, same
+multi-level anchored log-sum-exp, same tie correction and self floor —
+but the k-th-distance threshold comes from an in-kernel bitwise binary
+search over bf16 encodings (EXACT in that value space) instead of
+``approx_min_k``.  These tests pin, in interpreter mode (CPU lane):
+
+1. the binary search against a tie-inclusive numpy k-th smallest;
+2. the full forward against a scan-free jnp transcription of the kernel
+   body (per-tile windows and anchors mirrored term for term);
+3. agreement with the XLA scan path where their masks provably coincide
+   (exact thresholds handed to both sides);
+4. the custom-VJP gradients (zero to ``space``, composite-matching to
+   ``values``/``std``);
+5. the support gate and validation errors.
+
+Reference: SURVEY C11 — TPU-native redesign, no reference analogue.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lpdnet_tpu.ops.lse import _SHIFT, knn_lse_aggregate
+from lpdnet_tpu.ops.pallas.lse_fused import (
+    fused_lse_supported,
+    lse_aggregate_fused,
+)
+
+
+def _cloud(rng, b, n, c, uniform=True):
+    if uniform:
+        pts = rng.rand(b, n, 3).astype(np.float32)
+    else:
+        centers = rng.randn(b, 8, 3).astype(np.float32)
+        pick = rng.randint(0, 8, size=(b, n))
+        pts = centers[np.arange(b)[:, None], pick] + 0.1 * rng.randn(
+            b, n, 3
+        ).astype(np.float32)
+    w = rng.randn(3, c).astype(np.float32)
+    vals = pts @ w + 0.05 * rng.randn(b, n, c).astype(np.float32)
+    return pts.astype(np.float32), vals.astype(np.float32)
+
+
+def _grid_cloud(rng, b, n, c, step=0.125):
+    """Points snapped to a coarse grid in [0, 1]^3: every squared
+    distance is a multiple of ``step**2`` bounded by 3, so the f32
+    distance arithmetic is EXACT regardless of association/FMA and the
+    bf16 cast is exact too — the kernel's and the oracle's tiles agree
+    bitwise, making tie-inclusive kth comparisons deterministic (random
+    clouds diverge ~1 ulp between the two compiled programs, the same
+    effect ops/lse.py's kth-reuse inflation documents). Heavy duplicate
+    points double as a tie stress."""
+    pts = np.round(rng.rand(b, n, 3) / step) * step
+    w = rng.randn(3, c).astype(np.float32)
+    vals = pts.astype(np.float32) @ w + 0.05 * rng.randn(b, n, c).astype(
+        np.float32
+    )
+    return pts.astype(np.float32), vals.astype(np.float32)
+
+
+def _bf16_sqdist(q, cand):
+    """f32 pairwise squared distance rounded to the kernel's bf16 mask
+    space (q: (m, 3), cand: (w, 3)) -> (m, w) f32 — jnp throughout, in
+    the kernel body's exact operation order (f32 matmuls associate
+    differently between numpy and XLA; the bf16 rounding would otherwise
+    flip tie-boundary bits)."""
+    q = jnp.asarray(q, jnp.float32)
+    candT = jnp.asarray(cand, jnp.float32).T
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    c2 = jnp.sum(candT * candT, axis=0, keepdims=True)
+    cross = jnp.dot(q, candT, preferred_element_type=jnp.float32)
+    d = jnp.maximum(q2 - 2.0 * cross + c2, 0.0)
+    return np.asarray(d.astype(jnp.bfloat16).astype(jnp.float32))
+
+
+def _tile_windows(n, tile, window):
+    """(q0, lo, win_n) per tile, mirroring the kernel wrapper."""
+    win_n = n if window is None else min(tile + 2 * window, n)
+    if win_n >= n:
+        window = None
+        win_n = n
+    out = []
+    for ti in range(n // tile):
+        q0 = ti * tile
+        lo = 0 if window is None else int(np.clip(q0 - window, 0, n - win_n))
+        out.append((q0, lo, win_n))
+    return out
+
+
+def _oracle(pts, vals, k, *, t0, tile, window, levels, tie_correction,
+            std=None):
+    """Scan-free jnp/numpy transcription of the kernel body (per-tile
+    windows and anchors, bf16 mask/exp casts, branch-split log combine,
+    tie correction, self floor) — the authority the kernel is tested
+    against."""
+    b, n, _ = pts.shape
+    c = vals.shape[-1]
+    if std is None:
+        std = vals.astype(np.float32).std(axis=1, keepdims=True)
+    t = t0 / np.maximum(std.astype(np.float32), 1e-6)  # (B, 1, C)
+    tiny = np.float32(np.finfo(np.float32).tiny)
+    out = np.empty((b, n, c), np.float32)
+    kth_out = np.empty((b, n), np.float32)
+    for bi in range(b):
+        for q0, lo, win_n in _tile_windows(n, tile, window):
+            q = pts[bi, q0:q0 + tile]
+            cand = pts[bi, lo:lo + win_n]
+            vals_w = vals[bi, lo:lo + win_n].astype(np.float32)
+            d = _bf16_sqdist(q, cand)  # (tile, win)
+            kth = np.sort(d, axis=1)[:, k - 1:k]  # tie-inclusive exact
+            kth_out[bi, q0:q0 + tile] = kth[:, 0]
+            m = d <= kth  # (tile, win)
+            any_q = m.any(axis=0)  # (win,)
+            anchor = np.max(
+                np.where(any_q[:, None], vals_w, -np.inf), axis=0,
+                keepdims=True,
+            )  # (1, C)
+            z = t[bi] * (vals_w - anchor)  # (win, C)
+            mask_bf = np.asarray(
+                jnp.asarray(m, jnp.float32).astype(jnp.bfloat16)
+            ).astype(np.float32)
+            sums = []
+            for l in range(levels):
+                z_l = np.where(z + l * _SHIFT > 0.0, 0.0, z + l * _SHIFT)
+                e_l = np.asarray(
+                    jnp.exp(jnp.asarray(z_l)).astype(jnp.bfloat16)
+                ).astype(np.float32)
+                sums.append(mask_bf @ e_l)  # (tile, C)
+            log_s = np.log(np.maximum(sums[-1], tiny)) - (levels - 1) * _SHIFT
+            for l in range(levels - 2, -1, -1):
+                log_s = np.where(
+                    sums[l] >= np.exp(-_SHIFT),
+                    np.log(np.maximum(sums[l], tiny)) - l * _SHIFT,
+                    log_s,
+                )
+            if tie_correction:
+                m_rows = m.sum(axis=1, keepdims=True).astype(np.float32)
+                log_s = log_s - np.log(np.maximum(m_rows / float(k), 1.0))
+            res = anchor + log_s / t[bi]
+            out[bi, q0:q0 + tile] = np.maximum(
+                res, vals[bi, q0:q0 + tile].astype(np.float32)
+            )
+    return out, kth_out
+
+
+def _fused_with_kth(pts, vals, k, **kw):
+    """Run the fused op and also return the kernel's k-th distances."""
+    from lpdnet_tpu.ops.pallas.lse_fused import _fused_call, _temperature
+
+    sp = jnp.asarray(pts, jnp.float32)
+    va = jnp.asarray(vals, jnp.float32)
+    t = _temperature(va, kw.get("std"), kw.get("t0", 24.0))
+    out, kth = _fused_call(
+        sp, va, t, None, k=k, tile=kw["tile"], window=kw.get("window"),
+        levels=kw.get("levels", 2),
+        tie_correction=kw.get("tie_correction", False), interpret=True,
+    )
+    out = jnp.maximum(out, va)
+    return np.asarray(out), np.asarray(kth[..., 0])
+
+
+@pytest.mark.parametrize("window", [None, 32])
+def test_fused_kth_search_is_exact(rng, window):
+    b, n, k, tile = 2, 256, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, 8)
+    _, kth = _fused_with_kth(pts, vals, k, tile=tile, window=window)
+    for bi in range(b):
+        for q0, lo, win_n in _tile_windows(n, tile, window):
+            d = _bf16_sqdist(pts[bi, q0:q0 + tile], pts[bi, lo:lo + win_n])
+            want = np.sort(d, axis=1)[:, k - 1]
+            got = kth[bi, q0:q0 + tile]
+            np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "window,levels,tie", [(None, 2, False), (32, 2, False), (32, 1, False),
+                          (32, 3, False), (32, 2, True)]
+)
+def test_fused_forward_matches_oracle(rng, window, levels, tie):
+    b, n, c, k, tile = 2, 256, 16, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, c)
+    want, want_kth = _oracle(
+        pts, vals, k, t0=24.0, tile=tile, window=window, levels=levels,
+        tie_correction=tie,
+    )
+    got = np.asarray(lse_aggregate_fused(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=24.0, tile=tile,
+        window=window, levels=levels, tie_correction=tie, interpret=True,
+    ))
+    _, got_kth = _fused_with_kth(
+        pts, vals, k, tile=tile, window=window, levels=levels,
+        tie_correction=tie,
+    )
+    np.testing.assert_array_equal(got_kth, want_kth)
+    std = vals.std(axis=1, keepdims=True)
+    err = np.abs(got - want) / np.maximum(std, 1e-6)
+    # Same mask, same anchors, same bf16 casts: only f32 exp/log/matmul
+    # association differs between the kernel and the transcription.
+    assert err.max() < 1e-3, err.max()
+
+
+def test_fused_forward_with_std_override(rng):
+    b, n, c, k, tile = 1, 256, 8, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, c)
+    std = 2.0 * vals.std(axis=1, keepdims=True) + 0.1
+    want, _ = _oracle(
+        pts, vals, k, t0=24.0, tile=tile, window=None, levels=2,
+        tie_correction=False, std=std,
+    )
+    got = np.asarray(lse_aggregate_fused(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=24.0, tile=tile,
+        std=jnp.asarray(std), interpret=True,
+    ))
+    err = np.abs(got - want) / np.maximum(std, 1e-6)
+    assert err.max() < 1e-3, err.max()
+
+
+def test_fused_matches_scan_path_on_shared_exact_masks(rng):
+    """Where the two paths provably share masks (kth handed to the scan
+    path EXACTLY — exact=True disables its ulp inflation — computed in
+    the same bf16 value space by the kernel's search), outputs agree to
+    bf16-exp rounding; this ties the kernel to the production op, not
+    just to the transcription."""
+    b, n, c, k, tile = 2, 256, 16, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, c)
+    got, kth = _fused_with_kth(pts, vals, k, tile=tile, window=None)
+    # The scan path's exact branch masks f32 distances; hand it the bf16
+    # thresholds and bf16 distance rounding via dist_dtype instead.
+    want = np.asarray(knn_lse_aggregate(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=24.0, block=tile,
+        dist_dtype="bfloat16", kth=jnp.asarray(kth), exact=True,
+    ))
+    std = vals.std(axis=1, keepdims=True)
+    err = np.abs(got - want) / np.maximum(std, 1e-6)
+    assert err.max() < 1e-3, err.max()
+
+
+def test_fused_grads_match_composite_and_zero_space(rng):
+    b, n, c, k, tile = 1, 256, 8, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, c)
+    sp, va = jnp.asarray(pts), jnp.asarray(vals)
+
+    def f(space, values):
+        return jnp.sum(lse_aggregate_fused(
+            space, values, k, t0=24.0, tile=tile, window=32, interpret=True,
+        ) ** 2)
+
+    dsp, dva = jax.grad(f, argnums=(0, 1))(sp, va)
+    assert np.all(np.asarray(dsp) == 0.0)
+    assert np.all(np.isfinite(np.asarray(dva)))
+    # The bwd re-runs the XLA composite with the kernel's thresholds (on
+    # the approx path, so with the documented 2-ulp reuse inflation); the
+    # plumbing is correct iff the custom VJP's grads equal that
+    # composite's own.
+    _, kth = _fused_with_kth(pts, vals, k, tile=tile, window=32)
+
+    def g(values):
+        out = knn_lse_aggregate(
+            sp, values, k, t0=24.0, block=tile, window=32,
+            dist_dtype="bfloat16", kth=jnp.asarray(kth),
+        )
+        return jnp.sum(out ** 2)
+
+    dva_ref = jax.grad(g)(va)
+    np.testing.assert_allclose(
+        np.asarray(dva), np.asarray(dva_ref), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_fused_grads_with_std_override(rng):
+    b, n, c, k, tile = 1, 256, 8, 8, 64
+    pts, vals = _cloud(rng, b, n, c)
+    std = jnp.asarray(vals.std(axis=1, keepdims=True) + 0.05)
+
+    def f(values, s):
+        return jnp.sum(lse_aggregate_fused(
+            jnp.asarray(pts), values, k, t0=24.0, tile=tile, std=s,
+            interpret=True,
+        ) ** 2)
+
+    dva, dstd = jax.grad(f, argnums=(0, 1))(jnp.asarray(vals), std)
+    assert np.all(np.isfinite(np.asarray(dva)))
+    assert np.all(np.asarray(dstd) == 0.0)  # std feeds t via stop_gradient
+
+
+def test_fused_tie_explosion_bias_corrected(rng):
+    """Coplanar sheet: the tie correction must renormalize exploded rows
+    the same way the scan path does (the round-4 coplanar finding)."""
+    b, n, c, k, tile = 1, 256, 8, 8, 64
+    xy = rng.rand(b, n, 2).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((b, n, 1), np.float32)], axis=-1)
+    # Snap to a coarse grid so bf16 distances tie heavily.
+    pts = np.round(pts * 8.0) / 8.0
+    vals = rng.randn(b, n, c).astype(np.float32)
+    want, _ = _oracle(
+        pts, vals, k, t0=24.0, tile=tile, window=None, levels=2,
+        tie_correction=True,
+    )
+    got = np.asarray(lse_aggregate_fused(
+        jnp.asarray(pts), jnp.asarray(vals), k, t0=24.0, tile=tile,
+        tie_correction=True, interpret=True,
+    ))
+    std = vals.std(axis=1, keepdims=True)
+    err = np.abs(got - want) / np.maximum(std, 1e-6)
+    assert err.max() < 1e-3, err.max()
+
+
+def test_fused_support_gate_and_validation(rng):
+    assert fused_lse_supported(
+        n=4096, tile=256, window=128, exclude_self=False, exact=False,
+        dist_dtype="bfloat16",
+    )
+    assert not fused_lse_supported(  # exact path not covered
+        n=4096, tile=256, window=128, exclude_self=False, exact=True,
+        dist_dtype="bfloat16",
+    )
+    assert not fused_lse_supported(  # f32 mask space not covered
+        n=4096, tile=256, window=128, exclude_self=False, exact=False,
+        dist_dtype="float32",
+    )
+    assert not fused_lse_supported(  # ragged tiling
+        n=4100, tile=256, window=128, exclude_self=False, exact=False,
+        dist_dtype="bfloat16",
+    )
+    pts, vals = _cloud(rng, 1, 128, 8)
+    with pytest.raises(ValueError, match="unsupported fused-LSE"):
+        lse_aggregate_fused(
+            jnp.asarray(pts), jnp.asarray(vals), 8, tile=100, interpret=True,
+        )
+    with pytest.raises(ValueError, match="disagree"):
+        lse_aggregate_fused(
+            jnp.asarray(pts), jnp.asarray(vals[:, :64]), 8, tile=64,
+            interpret=True,
+        )
