@@ -453,6 +453,16 @@ def main():
                     help="override ModelConfig.lse_t0")
     ap.add_argument("--lse_levels", type=int, default=None,
                     help="override ModelConfig.lse_levels (anchor levels)")
+    ap.add_argument("--lse_fused", default=None,
+                    choices=["off", "on"],
+                    help="override ModelConfig.lse_fused (fused Pallas "
+                         "LSE kernel)")
+    ap.add_argument("--lse_tie", action="store_true",
+                    help="set ModelConfig.lse_tie_correction")
+    ap.add_argument("--train_batch", type=int, default=2,
+                    help="train mode: batch_num_queries (the reference "
+                         "config is 2 = 44 submaps/step; the round-5 "
+                         "batch-axis probe sweeps this)")
     args = ap.parse_args()
     if args.agg is not None:
         _MODEL_OVERRIDES["aggregation"] = args.agg
@@ -460,6 +470,10 @@ def main():
         _MODEL_OVERRIDES["lse_t0"] = args.lse_t0
     if args.lse_levels is not None:
         _MODEL_OVERRIDES["lse_levels"] = args.lse_levels
+    if args.lse_fused is not None:
+        _MODEL_OVERRIDES["lse_fused"] = args.lse_fused
+    if args.lse_tie:
+        _MODEL_OVERRIDES["lse_tie_correction"] = True
 
     _wait_for_backend()
     enable_compilation_cache()
@@ -507,14 +521,16 @@ def main():
         }))
         return
     if args.mode == "train":
-        qps, sps, mfu = bench_train_step()
+        qps, sps, mfu = bench_train_step(batch_queries=args.train_batch)
         print(json.dumps({
             "metric": "train_queries_per_sec_per_chip",
             "value": round(qps, 3),
             "unit": "queries/s",
             "vs_baseline": round(sps / 1000.0, 4),
             "detail": {
-                "model": "lpdnet bf16, lazy quadruplet, B=2 ref config",
+                "model": "lpdnet bf16, lazy quadruplet, "
+                         f"B={args.train_batch} "
+                         "(ref config 2)",
                 "tuples": "1q + 2pos + 18neg + other",
                 "submaps_per_sec": round(sps, 1),
                 "mfu": round(mfu, 4),

@@ -155,12 +155,37 @@ class ModelConfig:
     # 4); the correction renormalizes exploded rows to the same
     # log(k)/t-class bias as normal rows and is a no-op when m <= k.
     lse_tie_correction: bool = False
+    # Fused Pallas kernel for the LSE aggregation
+    # (ops/pallas/lse_fused.py): the whole scan body — distance tile,
+    # EXACT bf16 k-th-distance search (replacing the recall_target-0.85
+    # approx_min_k), masks, level exps, both matmuls — runs in VMEM, one
+    # HBM trip in and out. 'off' (default) = the XLA scan (ops/lse.py);
+    # 'on' = require the kernel (config error when its static gates fail
+    # — models/lpdnet.py lse_fused_enabled; CPU tests wrap the forward in
+    # force_tpu_interpret_mode). The default stays 'off' as a MEASURED
+    # negative for throughput (docs/PERF_LOG.md round 5: the XLA scan's
+    # batched blocks beat the kernel's per-(batch, tile) grid at the
+    # shipped geometry; the in-kernel exact search costs ~2.5 ms that
+    # approx_min_k does for ~1.0); 'on' buys exact tie-inclusive masks —
+    # no selection approximation — for ~equal feature-graph rate, the
+    # audit/escape hatch when recall_target misses matter.
+    lse_fused: str = "off"
 
     def __post_init__(self):
         if self.aggregation not in ("auto", "max", "lse"):
             raise ValueError(
                 f"model.aggregation must be 'auto', 'max' or 'lse', got "
                 f"{self.aggregation!r}"
+            )
+        if self.lse_fused not in ("off", "on"):
+            raise ValueError(
+                f"model.lse_fused must be 'off' or 'on', got "
+                f"{self.lse_fused!r}"
+            )
+        if self.lse_fused == "on" and self.aggregation == "max":
+            raise ValueError(
+                "model.lse_fused='on' is an LSE-path setting; it cannot "
+                "combine with aggregation='max'"
             )
         if self.lse_levels < 1:
             raise ValueError(

@@ -94,12 +94,15 @@ def evaluate_model(
     chunk: int = 0,
     transfer_dtype: str = "float32",
     local_rows: Optional[slice] = None,
+    return_vectors: bool = False,
 ) -> Dict[str, object]:
     """Run the full benchmark; returns averaged metrics.
 
     ``query_sets[n][i][m]`` holds the true-positive database indices of
     query ``i`` (run ``n``) in database run ``m`` (reference pickle layout,
-    SURVEY C9).
+    SURVEY C9).  ``return_vectors`` adds the per-run descriptor matrices
+    to the result (fidelity audits compare them across aggregation
+    modes — scripts/world_audit.py).
     """
     database_vectors = [
         get_latent_vectors(
@@ -161,12 +164,16 @@ def evaluate_model(
     ave_recall = (
         np.mean(recalls, axis=0) if recalls else np.zeros(num_neighbors)
     )
-    return {
+    out: Dict[str, object] = {
         "ave_recall": ave_recall,
         "ave_one_percent_recall": float(np.mean(one_percents)) if one_percents else 0.0,
         "average_similarity": float(np.mean(similarities)) if similarities else 0.0,
         "num_pairs": len(recalls),
     }
+    if return_vectors:
+        out["database_vectors"] = [np.asarray(v) for v in database_vectors]
+        out["query_vectors"] = [np.asarray(v) for v in query_vectors]
+    return out
 
 
 def format_results(results: Dict[str, object]) -> str:

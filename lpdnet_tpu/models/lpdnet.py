@@ -24,6 +24,10 @@ from lpdnet_tpu.ops.gather import gather_neighbors
 from lpdnet_tpu.ops.knn import knn_indices
 from lpdnet_tpu.ops.lse import knn_lse_aggregate
 from lpdnet_tpu.ops.pallas.edge_gather import edge_max_gather_trainable
+from lpdnet_tpu.ops.pallas.lse_fused import (
+    fused_lse_supported,
+    lse_aggregate_fused,
+)
 from lpdnet_tpu.models.pointnet import PointMLP
 
 
@@ -48,6 +52,7 @@ def make_lse_agg(
     levels: int = 2,
     kth=None,
     tie_correction: bool = False,
+    fused: bool = False,
 ):
     """Build the gather-free LSE ``agg_fn`` for one EdgeConv (ops/lse.py).
 
@@ -56,9 +61,19 @@ def make_lse_agg(
     aggregation policy can never drift between the paths.  ``std_fn``
     (values -> (B, 1, C) std) overrides the op's internal whole-submap
     channel std — SP passes a psum-over-shards reduction there.
+    ``fused`` routes to the Pallas kernel twin
+    (ops/pallas/lse_fused.py — callers gate it via ``lse_fused_enabled``;
+    same semantics, exact in-kernel bf16 kth search instead of
+    ``approx_min_k``).
     """
     def agg(values):
         std = None if std_fn is None else std_fn(values)
+        if fused:
+            return lse_aggregate_fused(
+                space, values, k, t0=t0, tile=block, window=window,
+                levels=levels, tie_correction=tie_correction, std=std,
+                kth=kth,
+            )
         return knn_lse_aggregate(
             space, values, k, t0=t0, block=block, window=window,
             recall_target=recall_target, exact=exact,
@@ -70,6 +85,45 @@ def make_lse_agg(
     # recompute does not fuse block-locally on this backend, so it
     # doubles scan work without saving the residual traffic it targets.
     return agg
+
+
+def lse_fused_enabled(cfg, window) -> bool:
+    """Shared policy: route the trunk's LSE aggregations through the
+    fused Pallas kernel (ops/pallas/lse_fused.py)?
+
+    ``window`` is the trunk's resolved Morton window (the caller passes
+    ``knn_window_policy(cfg)`` — models/model.py).  Static gates: the LSE
+    path itself, non-exact kNN, bf16 compute (the kernel masks in the
+    scan path's bf16 value space), and kernel-aligned geometry
+    (``fused_lse_supported``).  ``'on'`` raises when a static gate fails
+    instead of silently taking the scan path, and trusts the backend
+    (the kernel is TPU-only; CPU tests wrap the forward in
+    ``pltpu.force_tpu_interpret_mode``).  The default is 'off' — a
+    measured throughput negative at the shipped geometry, kept as the
+    exact-selection escape hatch (docs/PERF_LOG.md round 5)."""
+    if cfg.lse_fused == "off":
+        return False
+    resolved = cfg.resolved_aggregation
+    ok = (
+        resolved == "lse"
+        and not cfg.exact_knn
+        and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        and fused_lse_supported(
+            n=cfg.num_points, tile=cfg.features.knn_block, window=window,
+            exclude_self=False, exact=False, dist_dtype="bfloat16",
+        )
+    )
+    if not ok:
+        raise ValueError(
+            "model.lse_fused='on' but the fused kernel's static gates "
+            f"fail (aggregation resolves to {resolved!r}, "
+            f"exact_knn={cfg.exact_knn}, "
+            f"compute_dtype={cfg.compute_dtype!r}, "
+            f"num_points={cfg.num_points}, "
+            f"knn_block={cfg.features.knn_block}, window={window}); "
+            "drop the override to use the XLA scan (ops/lse.py)"
+        )
+    return True
 
 
 def lse_reuse_kth(cfg) -> bool:
@@ -226,6 +280,10 @@ class LPDNetFeat(nn.Module):
     lse_t0: float = 24.0
     lse_levels: int = 2
     lse_tie_correction: bool = False
+    # Route LSE aggregations through the fused Pallas kernel (resolved by
+    # the caller via ``lse_fused_enabled`` — TPU-only, bf16, aligned
+    # geometry).
+    lse_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -260,6 +318,7 @@ class LPDNetFeat(nn.Module):
                     dist_dtype=dist_dtype, std_fn=lse_std_fn,
                     levels=self.lse_levels, kth=kth,
                     tie_correction=self.lse_tie_correction,
+                    fused=self.lse_fused,
                 )
             # ``lse_kth_xyz``: the caller's feature stage already scanned
             # the xyz space — its k-th distance re-masks the SAME metric

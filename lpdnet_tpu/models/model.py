@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from lpdnet_tpu.configs import ModelConfig
-from lpdnet_tpu.models.lpdnet import LPDNetFeat, lse_reuse_kth
+from lpdnet_tpu.models.lpdnet import (
+    LPDNetFeat,
+    lse_fused_enabled,
+    lse_reuse_kth,
+)
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
 from lpdnet_tpu.models.pointnet import PointNetFeat
 from lpdnet_tpu.ops.features import eigen_features_and_knn
@@ -103,6 +107,7 @@ class DescriptorNet(nn.Module):
                 lse_t0=cfg.lse_t0,
                 lse_levels=cfg.lse_levels,
                 lse_tie_correction=cfg.lse_tie_correction,
+                lse_fused=lse_fused_enabled(cfg, window),
                 name="trunk",
             )(x, train=train, idx_xyz=idx_xyz, lse_kth_xyz=kth_xyz)
         elif cfg.trunk == "pointnetvlad":

@@ -244,14 +244,14 @@ def fused_lse_supported(
 
 @partial(
     jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5, 6, 7, 8),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
 )
 def _fused_lse(
-    space, values, k, t0, tile, window, levels, tie_correction, interpret,
-    std,
+    space, values, kth_in, k, t0, tile, window, levels, tie_correction,
+    interpret, std,
 ):
     out, _ = _fused_fwd(
-        space, values, k, t0, tile, window, levels, tie_correction,
+        space, values, kth_in, k, t0, tile, window, levels, tie_correction,
         interpret, std,
     )
     return out
@@ -267,23 +267,41 @@ def _temperature(values, std, t0):
 
 
 def _fused_fwd(
-    space, values, k, t0, tile, window, levels, tie_correction, interpret,
-    std,
+    space, values, kth_in, k, t0, tile, window, levels, tie_correction,
+    interpret, std,
 ):
     sp = space.astype(jnp.float32)
     vals = values.astype(jnp.float32)
     t = _temperature(values, std, t0)
+    if kth_in is not None:
+        # Reused threshold from another scan over the same metric space:
+        # inflate by 2 bf16 ulps exactly like ops/lse.py's approx-path
+        # reuse (the two programs' bf16 distance tiles can round ~1 ulp
+        # apart; the inflation makes the mask a near-superset instead of
+        # dropping boundary neighbours).
+        kern_kth = (
+            jax.lax.stop_gradient(kth_in.astype(jnp.float32))
+            * (1.0 + 2.0 ** -6)
+        )[..., None]
+    else:
+        kern_kth = None
     out, kth = _fused_call(
-        sp, vals, t, None, k=k, tile=tile, window=window, levels=levels,
+        sp, vals, t, kern_kth, k=k, tile=tile, window=window, levels=levels,
         tie_correction=tie_correction, interpret=interpret,
     )
-    return out.astype(values.dtype), (space, values, std, kth)
+    # The bwd composite re-inflates an approx-path threshold itself, so
+    # hand it the ORIGINAL reused threshold (same final mask value as the
+    # fwd's) — or the kernel's own exact search result otherwise.
+    kth_bwd = (
+        jax.lax.stop_gradient(kth_in) if kth_in is not None else kth[..., 0]
+    )
+    return out.astype(values.dtype), (space, values, std, kth_bwd, kth_in)
 
 
 def _fused_bwd(
     k, t0, tile, window, levels, tie_correction, interpret, res, dout,
 ):
-    space, values, std, kth = res
+    space, values, std, kth, kth_in = res
     # The XLA composite with the kernel's own thresholds: its 2-ulp reuse
     # inflation makes the bwd mask a near-superset of the fwd's (boundary
     # ties only — the same approximation class as the scan path's own
@@ -293,7 +311,7 @@ def _fused_bwd(
         return knn_lse_aggregate(
             space, v, k, t0=t0, block=tile, window=window,
             dist_dtype="bfloat16", std=s, levels=levels,
-            tie_correction=tie_correction, kth=kth[..., 0],
+            tie_correction=tie_correction, kth=kth,
         )
     if std is None:
         _, vjp = jax.vjp(lambda v: f(v, None), values)
@@ -302,7 +320,8 @@ def _fused_bwd(
     else:
         _, vjp = jax.vjp(f, values, std)
         dvalues, dstd = vjp(dout)
-    return jnp.zeros_like(space), dvalues, dstd
+    dkth = None if kth_in is None else jnp.zeros_like(kth_in)
+    return jnp.zeros_like(space), dvalues, dkth, dstd
 
 
 _fused_lse.defvjp(_fused_fwd, _fused_bwd)
@@ -319,6 +338,7 @@ def lse_aggregate_fused(
     levels: int = 2,
     tie_correction: bool = False,
     std: Optional[jnp.ndarray] = None,
+    kth: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel twin of ``ops.lse.knn_lse_aggregate`` (bf16 mask space,
@@ -326,7 +346,9 @@ def lse_aggregate_fused(
     (query rows per kernel step; the candidate window is ``tile + 2 *
     window`` sorted rows). The k-th-distance threshold is found EXACTLY
     in bf16 space by an in-kernel bitwise binary search — no
-    ``approx_min_k`` call, no recall_target."""
+    ``approx_min_k`` call, no recall_target — unless ``kth`` (B, N)
+    hands in another scan's threshold over the same metric space, which
+    skips the search (2-bf16-ulp inflated, ops/lse.py reuse semantics)."""
     b, n, _ = space.shape
     c = values.shape[-1]
     if values.shape[:2] != (b, n):
@@ -335,6 +357,10 @@ def lse_aggregate_fused(
         )
     if std is not None and std.shape != (b, 1, c):
         raise ValueError(f"std shape {std.shape} != {(b, 1, c)}")
+    if kth is not None and kth.shape != (b, n):
+        raise ValueError(
+            f"kth shape {kth.shape} != {(b, n)} (per-row threshold)"
+        )
     if not fused_lse_supported(
         n=n, tile=tile, window=window, exclude_self=False, exact=False,
         dist_dtype="bfloat16",
@@ -344,6 +370,6 @@ def lse_aggregate_fused(
             f"window={window}); use ops.lse.knn_lse_aggregate"
         )
     return _fused_lse(
-        space, values, k, float(t0), tile, window, levels,
+        space, values, kth, k, float(t0), tile, window, levels,
         bool(tie_correction), interpret, std,
     )

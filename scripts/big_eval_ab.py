@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pairs", nargs="+", required=True,
-                    help="LOG_DIR:AGG with AGG in {max, lse, exact}; "
-                         "'exact' = max aggregation + exact kNN oracle")
+                    help="LOG_DIR:AGG with AGG in {max, lse, lse_tie, "
+                         "exact}; 'exact' = max aggregation + exact kNN "
+                         "oracle; 'lse_tie' = lse + per-row tie-explosion "
+                         "bias correction (ops/lse.py tie_correction)")
     ap.add_argument("--places", type=int, default=64)
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=64)
@@ -87,6 +89,10 @@ def main():
         if agg == "exact":
             mcfg = dataclasses.replace(
                 mcfg, aggregation="max", exact_knn=True
+            )
+        elif agg == "lse_tie":
+            mcfg = dataclasses.replace(
+                mcfg, aggregation="lse", lse_tie_correction=True
             )
         else:
             mcfg = dataclasses.replace(mcfg, aggregation=agg)

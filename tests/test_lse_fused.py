@@ -309,6 +309,119 @@ def test_fused_tie_explosion_bias_corrected(rng):
     assert err.max() < 1e-3, err.max()
 
 
+def test_fused_kth_reuse_matches_scan_reuse(rng):
+    """A reused threshold must behave exactly like the scan path's reuse:
+    both inflate by 2 bf16 ulps, and on a grid cloud (exact distance
+    arithmetic — both programs' tiles agree bitwise) the masks coincide,
+    so outputs agree to f32 exp/log rounding and grads to the composite's."""
+    b, n, c, k, tile = 2, 256, 16, 8, 64
+    pts, vals = _grid_cloud(rng, b, n, c)
+    _, kth = _fused_with_kth(pts, vals, k, tile=tile, window=32)
+    sp, va, kt = jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(kth)
+    got = np.asarray(lse_aggregate_fused(
+        sp, va, k, t0=24.0, tile=tile, window=32, kth=kt, interpret=True,
+    ))
+    want = np.asarray(knn_lse_aggregate(
+        sp, va, k, t0=24.0, block=tile, window=32, dist_dtype="bfloat16",
+        kth=kt,
+    ))
+    std = vals.std(axis=1, keepdims=True)
+    err = np.abs(got - want) / np.maximum(std, 1e-6)
+    assert err.max() < 1e-3, err.max()
+
+    def f(values):
+        return jnp.sum(lse_aggregate_fused(
+            sp, values, k, t0=24.0, tile=tile, window=32, kth=kt,
+            interpret=True,
+        ) ** 2)
+
+    def g(values):
+        return jnp.sum(knn_lse_aggregate(
+            sp, values, k, t0=24.0, block=tile, window=32,
+            dist_dtype="bfloat16", kth=kt,
+        ) ** 2)
+
+    dva = jax.grad(f)(va)
+    dva_ref = jax.grad(g)(va)
+    np.testing.assert_allclose(
+        np.asarray(dva), np.asarray(dva_ref), rtol=2e-3, atol=2e-4
+    )
+    dkt = jax.grad(lambda x: jnp.sum(lse_aggregate_fused(
+        sp, va, k, t0=24.0, tile=tile, window=32, kth=x, interpret=True,
+    )))(kt)
+    assert np.all(np.asarray(dkt) == 0.0)
+
+
+def _fused_model_cfg(**kw):
+    from lpdnet_tpu.configs import FeatureConfig, ModelConfig
+
+    base = dict(
+        trunk="lpdnet", num_points=256, feature_dim=64, num_clusters=8,
+        output_dim=32, graph_k=6, features=FeatureConfig(k=6, knn_block=64),
+        knn_window=32, exact_knn=False, compute_dtype="bfloat16",
+        aggregation="lse",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_model_fused_descriptor_matches_scan_path(rng):
+    """The integrated path (model.lse_fused='on', kth reuse active via
+    lse_reuse_kth) against the shipped scan path, same parameters: the
+    only semantic difference is the threshold source (exact in-kernel
+    bf16 search / reused vs approx_min_k), so descriptors must stay
+    within the approximation class's own noise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lpdnet_tpu.models.model import init_model
+
+    cfg_scan = _fused_model_cfg()
+    cfg_fused = _fused_model_cfg(lse_fused="on")
+    model_scan, variables = init_model(
+        cfg_scan, jax.random.key(0), batch_size=2
+    )
+    with pltpu.force_tpu_interpret_mode():
+        model_fused = init_model(cfg_fused, jax.random.key(0), batch_size=2)[0]
+        pts, _ = _cloud(rng, 2, 256, 1, uniform=False)
+        x = jnp.asarray(pts)
+        d_fused = np.asarray(model_fused.apply(variables, x, train=False))
+    d_scan = np.asarray(model_scan.apply(variables, x, train=False))
+    cos = np.sum(d_scan * d_fused, axis=-1)  # both L2-normalized
+    assert cos.min() > 0.99, cos
+
+
+def test_lse_fused_policy_gates():
+    import jax as _jax
+
+    from lpdnet_tpu.configs import ModelConfig
+    from lpdnet_tpu.models.lpdnet import lse_fused_enabled
+
+    assert _jax.default_backend() == "cpu"  # the test lane's invariant
+    # 'off' (the default — a measured perf negative, PERF_LOG round 5)
+    # never routes to the kernel.
+    assert not lse_fused_enabled(_fused_model_cfg(), 32)
+    # 'on' demands the static gates.
+    assert lse_fused_enabled(_fused_model_cfg(lse_fused="on"), 32)
+    with pytest.raises(ValueError, match="static gates"):
+        lse_fused_enabled(
+            _fused_model_cfg(lse_fused="on", exact_knn=True), None
+        )
+    with pytest.raises(ValueError, match="static gates"):
+        lse_fused_enabled(
+            _fused_model_cfg(lse_fused="on", compute_dtype="float32"), 32
+        )
+    # Config-time rejection of the contradictory explicit combination.
+    with pytest.raises(ValueError, match="lse_fused"):
+        _fused_model_cfg(lse_fused="on", aggregation="max")
+    with pytest.raises(ValueError, match="lse_fused"):
+        _fused_model_cfg(lse_fused="bogus")
+    # 'on' under an 'auto' that resolves to max (non-LPD trunk) fails
+    # loud at the policy gate, not silently scan.
+    cfg = ModelConfig(trunk="pointnetvlad", lse_fused="on")
+    with pytest.raises(ValueError, match="static gates"):
+        lse_fused_enabled(cfg, None)
+
+
 def test_fused_support_gate_and_validation(rng):
     assert fused_lse_supported(
         n=4096, tile=256, window=128, exclude_self=False, exact=False,
