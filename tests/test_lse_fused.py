@@ -309,6 +309,7 @@ def test_fused_tie_explosion_bias_corrected(rng):
     assert err.max() < 1e-3, err.max()
 
 
+@pytest.mark.slow
 def test_fused_kth_reuse_matches_scan_reuse(rng):
     """A reused threshold must behave exactly like the scan path's reuse:
     both inflate by 2 bf16 ulps, and on a grid cloud (exact distance
@@ -365,6 +366,7 @@ def _fused_model_cfg(**kw):
     return ModelConfig(**base)
 
 
+@pytest.mark.slow
 def test_model_fused_descriptor_matches_scan_path(rng):
     """The integrated path (model.lse_fused='on', kth reuse active via
     lse_reuse_kth) against the shipped scan path, same parameters: the

@@ -87,7 +87,10 @@ def test_plan_rejects_bad_stage_counts(bits):
 
 
 @pytest.mark.parametrize("stages,micro", [
-    (3, 2),
+    # Suite-hygiene round 5: the PointNetVLAD-trunk PP variants run in
+    # the slow lane; default-lane PP parity coverage is the LPD trunk
+    # (flagship family) + the LSE default below.
+    pytest.param(3, 2, marks=pytest.mark.slow),
     pytest.param(2, 4, marks=pytest.mark.slow),
 ])
 def test_pp_embed_pointnetvlad_matches_full_model(stages, micro):
@@ -116,6 +119,7 @@ def test_pp_embed_pointnetvlad_matches_full_model(stages, micro):
     )
 
 
+@pytest.mark.slow
 def test_pp_embed_pointnetvlad_feature_transform_matches_full_model():
     """use_feature_transform=True routes through _PNBackUnit's fstn branch
     (64x64 feature alignment, off in the reference defaults) — the param

@@ -127,7 +127,10 @@ def test_sp_embed_rejects_wrong_point_count(rng):
 
 @pytest.mark.parametrize("data,points", [
     pytest.param(2, 4, marks=pytest.mark.slow),
-    (4, 2),
+    # Both DPxSP shapes live in the slow lane (suite-hygiene round 5):
+    # the composition is specs-only on top of SP (default-lane parity
+    # above) and dryrun_multichip executes a DPxSP section every round.
+    pytest.param(4, 2, marks=pytest.mark.slow),
 ])
 def test_dp_sp_embed_matches_single_device(rng, data, points):
     """DPxSP (2-D (data, points) mesh): the batch shards over D
