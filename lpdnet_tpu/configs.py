@@ -154,6 +154,13 @@ class ModelConfig:
     # (cosine 0.64 vs 'max' measured on sheets, docs/PERF_LOG.md round
     # 4); the correction renormalizes exploded rows to the same
     # log(k)/t-class bias as normal rows and is a no-op when m <= k.
+    # Stays opt-in: at the shipped 256/128 geometry (window 512, which
+    # already caps m) it is a measured retrieval no-op — identical
+    # recall on the hard AND ground audit worlds, cosine moved <= 1e-3
+    # (PERF_LOG round 5 tie-explosion decision, world_audit.json). For
+    # ground-plane-heavy deployments the reference-semantics escape
+    # hatch is aggregation='max' (measured +1.4 r@1 pts on the ground
+    # world, -1.4 on hard — geometry-dependent, audit-resolution-sized).
     lse_tie_correction: bool = False
     # Fused Pallas kernel for the LSE aggregation
     # (ops/pallas/lse_fused.py): the whole scan body — distance tile,
