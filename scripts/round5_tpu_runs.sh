@@ -82,5 +82,20 @@ step bench_latency 2400 python bench.py --mode latency
 step mining 5400 python scripts/mining_rehearsal.py --agg lse \
   --num_submaps 21700 --queries 120
 
+# 8. Discriminating-world fidelity audit (VERDICT round-4 items 2/3):
+#    a 2-epoch flagship checkpoint trained on the 'hard' world, then
+#    recall + per-submap descriptor cosine for the exact oracle, max,
+#    the lse default, and the tie-corrected variant on hard AND ground.
+step train_hard 2400 python train.py --synthetic --synthetic_scale full \
+  --synthetic_world hard --trunk lpdnet --dtype bfloat16 \
+  --log_dir "$OUT/hard_ckpt" --max_epoch 2
+step world_audit 2400 python scripts/world_audit.py \
+  --log_dir "$OUT/hard_ckpt" --worlds hard ground \
+  --modes exact max lse lse_tie --json "$OUT/world_audit.json"
+
+# 9. Train-step batch-axis sweep (VERDICT round-4 item 5).
+step train_batch 2400 python scripts/bench_train_batch.py \
+  --batches 2 4 8 16 --json "$OUT/train_batch_sweep.json"
+
 echo "== all steps attempted; summary:"
 ls "$OUT"/*.done 2>/dev/null | sed 's/.*\//  /; s/\.done//'
