@@ -26,6 +26,14 @@ jax.config.update("jax_platforms", "cpu")
 # (prefer-no-scatter/gather) that fail the load-time host check and warn
 # about potential SIGILL — a correctness risk no test-lane speedup is
 # worth. Warm-lane timing relies on the slow-mark split instead.
+#
+# NOTE: --xla_backend_optimization_level=0 was probed (round 5) as a
+# suite-wide compile-time cut (391 s -> 276 s) and REJECTED: at opt-0 the
+# jitted train step's gradients go NaN on XLA:CPU (pointnetvlad trunk,
+# step 2) while the IDENTICAL math computed eagerly — each primitive also
+# compiled at opt-0 — stays finite, i.e. a whole-program opt-0 miscompile,
+# not a repo numerics bug. Levels 1/2 are <10% faster than default.
+# Correctness over speed, same verdict as the AOT cache above.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

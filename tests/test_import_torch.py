@@ -140,7 +140,11 @@ def _warm_bn(module, rng, shape, passes=3):
     module.eval()
 
 
+@pytest.mark.slow
 def test_pointnetvlad_state_dict_import(rng):
+    # Slow lane since round 5's third hygiene pass: the LPD import below is
+    # the default-lane representative (flagship trunk, strictly more mapping
+    # surface — the baseline-trunk table is a subset of it).
     torch.manual_seed(0)
     ref = TorchPointNetVlad()
     _warm_bn(ref, rng, (4, N, 3))

@@ -206,11 +206,19 @@ def test_model_lse_descriptor_close_to_max(rng):
     assert cos.min() > 0.98, cos
 
 
+@pytest.mark.slow
 def test_model_lse_trains(rng):
     """One train-mode apply with gradients: the LSE path is differentiable
     end to end and produces finite grads + batch-stats updates. (Tiny
     shapes: this guards differentiability/wiring; numerical-hazard grads
-    are covered op-level by the halo-outlier test above.)"""
+    are covered op-level by the halo-outlier test above.)
+
+    Slow lane since round 5's third hygiene pass: the grad compile of the
+    full model (feature stage + dual graph + NetVLAD) costs ~30 s on the
+    CPU test box and the LSE-specific wiring it guards lives entirely in
+    the trunk — test_trunk_lse_trains below keeps that on the default
+    lane; full-model LSE training is also exercised by the slow-lane
+    fidelity gate and test_lpd_training_loop_learns."""
     cfg = _lpd_cfg(
         aggregation="lse", num_points=96, graph_k=4, feature_dim=32,
         features=FeatureConfig(k=4, knn_block=32),
@@ -225,6 +233,36 @@ def test_model_lse_trains(rng):
             x, train=True, mutable=["batch_stats"],
         )
         return jnp.sum(out ** 2), mutated
+
+    (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    assert float(loss) > 0.0
+    assert "batch_stats" in mutated
+
+
+def test_trunk_lse_trains(rng):
+    """Default-lane LSE train-wiring guard: one value_and_grad through the
+    dual-graph LPD trunk (Cartesian + feature-space EdgeConv, both under
+    the LSE aggregator with its std-derived feature-space temperature)
+    must produce finite grads and batch-stats updates. The trunk is where
+    every LSE-specific gradient lives; the NetVLAD/feature-stage grad
+    wiring this omits is covered by the pointnetvlad train tests and the
+    op-level feature tests (full-model LSE training: slow lane)."""
+    from lpdnet_tpu.models.lpdnet import LPDNetFeat
+
+    m = LPDNetFeat(feature_dim=32, k=4, aggregation="lse", knn_block=32)
+    x = jnp.asarray(rng.randn(2, 96, 13).astype(np.float32) * 0.3)
+    variables = m.init(jax.random.key(0), x)
+
+    def loss_fn(params):
+        out, mut = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2), mut
 
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables["params"]

@@ -177,8 +177,17 @@ def test_fused_kth_search_is_exact(rng, window):
 
 
 @pytest.mark.parametrize(
-    "window,levels,tie", [(None, 2, False), (32, 2, False), (32, 1, False),
-                          (32, 3, False), (32, 2, True)]
+    "window,levels,tie", [
+        # Default lane keeps the windowed default-levels combo plus the tie
+        # stressor; the kernel is an off-default escape hatch
+        # (model.lse_fused), so the remaining combos run under --runslow
+        # (round-5 third hygiene pass).
+        pytest.param(None, 2, False, marks=pytest.mark.slow),
+        (32, 2, False),
+        pytest.param(32, 1, False, marks=pytest.mark.slow),
+        pytest.param(32, 3, False, marks=pytest.mark.slow),
+        (32, 2, True),
+    ]
 )
 def test_fused_forward_matches_oracle(rng, window, levels, tie):
     b, n, c, k, tile = 2, 256, 16, 8, 64

@@ -255,8 +255,14 @@ def test_ddp_shard_map_step_matches_single_device_on_replicated_batch():
         )
 
 
+@pytest.mark.slow
 def test_ddp_shard_map_step_trains():
-    """Distinct shards: the DDP step must run and decrease loss."""
+    """Distinct shards: the DDP step must run and decrease loss.
+
+    Slow lane since round 5's third hygiene pass: the single-step DDP
+    parity test above (replicated batch vs the single-device step) is the
+    default-lane representative; this 6-step soak adds only optimizer
+    compounding on top of it."""
     from lpdnet_tpu.parallel.ddp import make_ddp_train_step
     from lpdnet_tpu.parallel.mesh import replicate
 

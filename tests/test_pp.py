@@ -165,7 +165,11 @@ def test_pp_embed_rejects_width_mismatch(bits):
 
 
 @pytest.mark.parametrize("stages,micro", [
-    (4, 2),
+    # Default lane keeps one uneven-partition shape; the 4-stage max shape
+    # moved to --runslow in round 5's third hygiene pass (4-stage coverage
+    # stays on the default lane via the LSE sibling below, plus
+    # dryrun_multichip and the slow-lane train-step matrix).
+    pytest.param(4, 2, marks=pytest.mark.slow),
     pytest.param(2, 4, marks=pytest.mark.slow),
     pytest.param(1, 8, marks=pytest.mark.slow),
     (3, 1),
@@ -185,7 +189,10 @@ def test_pp_embed_matches_full_model(bits, stages, micro):
     )
 
 
-@pytest.mark.parametrize("stages,micro", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("stages,micro", [
+    (4, 2),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+])
 def test_pp_embed_lse_matches_full_model(stages, micro):
     """aggregation='lse' composes with PP (VERDICT round-3 item 2): the
     staged forward must reproduce the monolithic LSE model exactly — the
