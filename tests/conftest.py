@@ -34,6 +34,17 @@ jax.config.update("jax_platforms", "cpu")
 # compiled at opt-0 — stays finite, i.e. a whole-program opt-0 miscompile,
 # not a repo numerics bug. Levels 1/2 are <10% faster than default.
 # Correctness over speed, same verdict as the AOT cache above.
+#
+# Default-lane budget (round 5, third hygiene pass): 200 tests in 325 s on
+# the 1-vCPU build box (368 s under load) — down from 411 s at the start of
+# the pass. The remaining time is ~40 distinct jit compiles of genuinely
+# distinct programs (trunk grads, PP schedules, SP shards, torch-parity
+# models); savings across them are sub-additive (shared warm caches), and
+# both whole-suite compile-time levers measured available on XLA:CPU (AOT
+# cache, opt-0) are rejected above for correctness. Further cuts would
+# drop default-lane coverage for single-digit seconds, so ~325 s is the
+# accepted floor on this box; the original 300 s aspiration assumed the
+# faster box earlier rounds ran on.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
