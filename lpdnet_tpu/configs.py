@@ -189,10 +189,18 @@ class ModelConfig:
                 f"model.lse_fused must be 'off' or 'on', got "
                 f"{self.lse_fused!r}"
             )
-        if self.lse_fused == "on" and self.aggregation == "max":
+        if self.lse_fused == "on" and self.resolved_aggregation != "lse":
+            # Catches explicit aggregation='max' AND every 'auto' case
+            # that resolves away from 'lse' (non-LPD trunk, 'edge' BN
+            # placement) — DescriptorNet only consults lse_fused on the
+            # LSE path, so anything else would silently ignore the flag
+            # and the user would audit the wrong semantics.
             raise ValueError(
-                "model.lse_fused='on' is an LSE-path setting; it cannot "
-                "combine with aggregation='max'"
+                "model.lse_fused='on' is an LSE-path setting, but the "
+                f"aggregation resolves to {self.resolved_aggregation!r} "
+                f"(aggregation={self.aggregation!r}, trunk={self.trunk!r}, "
+                f"edge_bn_placement={self.edge_bn_placement!r}); the fused "
+                "kernel would never run"
             )
         if self.lse_levels < 1:
             raise ValueError(

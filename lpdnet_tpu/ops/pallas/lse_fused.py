@@ -361,6 +361,16 @@ def lse_aggregate_fused(
         raise ValueError(
             f"kth shape {kth.shape} != {(b, n)} (per-row threshold)"
         )
+    win_n = n if window is None else min(tile + 2 * window, n)
+    if k > win_n:
+        # Mirror ops/lse.py's loud failure: with k beyond the candidate
+        # window the in-kernel lower-bound search never reaches count>=k
+        # and would silently return kth=+inf (a smooth max over the whole
+        # window) instead of a k-neighbour aggregation.
+        raise ValueError(
+            f"k={k} too large for the candidate window "
+            f"(tile + 2*window = {win_n}); widen window or tile"
+        )
     if not fused_lse_supported(
         n=n, tile=tile, window=window, exclude_self=False, exact=False,
         dist_dtype="bfloat16",

@@ -73,7 +73,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lpdnet_tpu.configs import LossConfig, ModelConfig, TrainConfig
 from lpdnet_tpu.losses import loss_from_config
 from lpdnet_tpu.models.lpdnet import (
-    EdgeConv, LPDNetFeat, knn_dist_dtype, lse_reuse_kth, make_lse_agg,
+    EdgeConv, LPDNetFeat, knn_dist_dtype, lse_fused_enabled, lse_reuse_kth,
+    make_lse_agg,
 )
 from lpdnet_tpu.models.model import knn_window_policy, use_pallas_gather
 from lpdnet_tpu.models.netvlad import NetVLADLoupe
@@ -105,6 +106,11 @@ def _lse_agg(cfg: ModelConfig, space, kth=None):
         recall_target=cfg.features.recall_target, exact=cfg.exact_knn,
         dist_dtype=_dist_dtype(cfg), kth=kth,
         tie_correction=cfg.lse_tie_correction,
+        # Same gate call as DescriptorNet: with lse_fused='on' the stages
+        # must use the exact-selection kernel too, or staged descriptors
+        # silently drift from the monolithic model wherever approx_min_k
+        # misses a neighbour (round-5 review finding).
+        fused=lse_fused_enabled(cfg, _window(cfg)),
     )
 
 
@@ -517,7 +523,14 @@ def _make_branches(plan: PipelinePlan, train: bool):
             bm = act_in.shape[0]
             if _g[-1].name == "head":
                 desc = h.astype(jnp.float32)
-                act_out = jnp.zeros_like(act_in)
+                # Dummy activation in the WIRE dtype: act_in is always
+                # upcast to f32 (see spmd's tick), so zeros_like(act_in)
+                # would emit f32 where every other branch emits the wire
+                # dtype — a lax.switch/scan-carry dtype mismatch that
+                # broke PP outright under bfloat16 compute (the flagship
+                # dtype; latent because the PP tests ran f32 — round-5
+                # review follow-up).
+                act_out = jnp.zeros(act_in.shape, wire)
             else:
                 desc = jnp.zeros((bm, cfg.output_dim), jnp.float32)
                 pad = plan.buf_width - h.shape[-1]

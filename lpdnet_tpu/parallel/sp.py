@@ -146,6 +146,17 @@ def make_sp_embed_fn(
             "sp embed is the Morton-window approximate path; exact_knn / "
             "fused_stats configs must use the single-device forward"
         )
+    if cfg.lse_fused == "on":
+        # The per-shard trunk scans its LOCAL window unwindowed
+        # (knn_block=win, knn_window=None) — a different scan geometry
+        # than the fused kernel's tile+halo grid; running the XLA scan
+        # here while the monolithic model runs the exact-selection kernel
+        # would silently break the SP-vs-single-device parity contract.
+        raise ValueError(
+            "model.lse_fused='on' (the exact-selection audit kernel) is "
+            "not supported under point-axis SP; use the single-device or "
+            "PP forward for fused-kernel audits"
+        )
     ndev = mesh.shape[axis]
     n = cfg.num_points
     if n % ndev:

@@ -154,16 +154,18 @@ def main():
             return g
 
         row = {}
-        row["scan_fwd_ms"] = _time_op(scan_op, space, values) * 1e3
-        row["fused_fwd_ms"] = _time_op(fused_op, space, values) * 1e3
+        row["scan_fwd_ms"] = _time_op(
+            scan_op, space, values, iters=args.iters) * 1e3
+        row["fused_fwd_ms"] = _time_op(
+            fused_op, space, values, iters=args.iters) * 1e3
         row["scan_reuse_fwd_ms"] = _time_op(
-            scan_reuse_op, space, values, kth) * 1e3
+            scan_reuse_op, space, values, kth, iters=args.iters) * 1e3
         row["fused_reuse_fwd_ms"] = _time_op(
-            fused_reuse_op, space, values, kth) * 1e3
+            fused_reuse_op, space, values, kth, iters=args.iters) * 1e3
         row["scan_bwd_ms"] = _time_op(
-            grad_of(scan_op), space, values) * 1e3
+            grad_of(scan_op), space, values, iters=args.iters) * 1e3
         row["fused_bwd_ms"] = _time_op(
-            grad_of(fused_op), space, values) * 1e3
+            grad_of(fused_op), space, values, iters=args.iters) * 1e3
 
         # Fidelity spot check on the same tensors.
         o_scan = np.asarray(jax.jit(scan_op)(space, values))

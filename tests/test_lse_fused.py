@@ -426,11 +426,77 @@ def test_lse_fused_policy_gates():
         _fused_model_cfg(lse_fused="on", aggregation="max")
     with pytest.raises(ValueError, match="lse_fused"):
         _fused_model_cfg(lse_fused="bogus")
-    # 'on' under an 'auto' that resolves to max (non-LPD trunk) fails
-    # loud at the policy gate, not silently scan.
-    cfg = ModelConfig(trunk="pointnetvlad", lse_fused="on")
-    with pytest.raises(ValueError, match="static gates"):
-        lse_fused_enabled(cfg, None)
+    # 'on' under an 'auto' that resolves to max (non-LPD trunk, or the
+    # 'edge' BN placement) is rejected at CONFIG time — DescriptorNet's
+    # pointnetvlad branch never consults the flag, so anything later
+    # would silently build a model the kernel never runs in (round-5
+    # review finding).
+    with pytest.raises(ValueError, match="resolves to 'max'"):
+        ModelConfig(trunk="pointnetvlad", lse_fused="on")
+    with pytest.raises(ValueError, match="resolves to 'max'"):
+        _fused_model_cfg(
+            lse_fused="on", aggregation="auto", edge_bn_placement="edge"
+        )
+
+
+def test_lse_fused_k_exceeds_window_raises():
+    """k beyond the candidate window must fail loud like the scan path
+    (ops/lse.py): the in-kernel lower-bound search would otherwise never
+    reach count>=k and silently return kth=+inf — a smooth max over the
+    whole window instead of a k-neighbour aggregation."""
+    space = jnp.zeros((1, 64, 3), jnp.float32)
+    values = jnp.zeros((1, 64, 8), jnp.float32)
+    with pytest.raises(ValueError, match="too large for the candidate"):
+        lse_aggregate_fused(
+            space, values, 33, tile=16, window=8, interpret=True
+        )
+
+
+def test_sp_rejects_lse_fused():
+    """Point-axis SP scans per-shard LOCAL windows (a different geometry
+    than the fused kernel's tile+halo grid); combining it with the
+    exact-selection kernel must fail loud instead of silently running
+    the approx scan while the monolithic model runs the kernel."""
+    from jax.sharding import Mesh
+
+    from lpdnet_tpu.parallel.sp import make_sp_embed_fn
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("points",))
+    with pytest.raises(ValueError, match="not supported under point-axis"):
+        make_sp_embed_fn(_fused_model_cfg(lse_fused="on"), mesh, {})
+
+
+def test_pp_lse_agg_threads_fused(rng, monkeypatch):
+    """lse_fused='on' composes with PP: the stage units route their
+    aggregators through the SAME lse_fused_enabled gate as DescriptorNet
+    (parallel/pp.py _lse_agg) — without the threading, stages would
+    silently fall back to the approx_min_k scan and drift from the
+    monolithic fused-kernel model wherever the approximation misses a
+    neighbour (round-5 review finding). The full staged schedule can't
+    run the interpreted kernel on CPU (the Mosaic interpreter's barrier
+    deadlocks inside shard_map), so this pins the WIRING — the kernel's
+    numerics equal the scan twin's by the oracle tests above, and staged
+    == monolithic holds for the shared aggregator by test_pp.py."""
+    import lpdnet_tpu.models.lpdnet as ml
+    from lpdnet_tpu.parallel.pp import _lse_agg
+
+    calls = []
+
+    def fake_fused(space, values, k, **kw):
+        calls.append(k)
+        return values
+
+    monkeypatch.setattr(ml, "lse_aggregate_fused", fake_fused)
+    pts, vals = _cloud(rng, 2, 256, 8)
+    cfg_on = _fused_model_cfg(lse_fused="on")
+    agg = _lse_agg(cfg_on, jnp.asarray(pts))
+    agg(jnp.asarray(vals))
+    assert calls == [cfg_on.graph_k], "PP aggregator did not route to the kernel"
+    # And the default ('off') must NOT touch the kernel.
+    calls.clear()
+    agg_off = _lse_agg(_fused_model_cfg(), jnp.asarray(pts))
+    agg_off(jnp.asarray(vals))
+    assert calls == []
 
 
 def test_fused_support_gate_and_validation(rng):

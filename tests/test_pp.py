@@ -217,6 +217,36 @@ def test_pp_embed_lse_matches_full_model(stages, micro):
     )
 
 
+def test_pp_embed_bf16_matches_full_model():
+    """PP under bfloat16 compute — the FLAGSHIP dtype. Latent round-4
+    bug (found by the round-5 review follow-up): the head stage's dummy
+    activation was ``zeros_like(act_in)``, and act_in is always upcast
+    to f32 in the schedule, so with wire=bf16 the lax.switch branches
+    disagreed on the activation dtype and PP failed at TRACE time for
+    every bf16 config (all prior PP tests ran f32). The fix emits the
+    dummy in the wire dtype; this pins trace success + parity."""
+    cfg = ModelConfig(
+        trunk="lpdnet", num_points=128, feature_dim=32, num_clusters=8,
+        output_dim=32, graph_k=6, features=FeatureConfig(k=6, knn_block=64),
+        knn_window=32, compute_dtype="bfloat16", aggregation="lse",
+    )
+    model, variables = init_model(cfg, jax.random.key(0), batch_size=2)
+    pts = jnp.asarray(
+        np.random.RandomState(5).randn(2, 128, 3).astype(np.float32) * 0.3
+    )
+    ref = np.asarray(model.apply(variables, pts, train=False))
+    plan = build_plan(cfg, 2, variables)
+    mesh = make_pp_mesh(2)
+    pstack, sstack = place_stacks(plan, mesh, variables)
+    embed = make_pp_embed_fn(plan, mesh, microbatch_size=1)
+    out = np.asarray(embed(pstack, sstack, pts))
+    # bf16 wire: staged activations cross one extra cast pair vs the
+    # monolithic forward, so parity is to bf16 resolution, not f32.
+    cos = np.sum(out * ref, axis=-1)
+    assert cos.min() > 0.999, cos
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=1e-2)
+
+
 @pytest.mark.slow
 def test_pp_train_step_lse_matches_microbatched_reference():
     """Pipelined LSE training == the sequential-microbatch reference (the
